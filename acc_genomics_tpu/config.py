@@ -1,0 +1,108 @@
+"""Typed configuration for the engine.
+
+Replaces the reference's three config tiers (Makefile -D board geometry,
+CMake cache flags, Blaze protobuf runtime conf — see SURVEY.md §5) with a
+single set of dataclasses. Geometry here is *bucket shapes* (padded batch
+tiles handed to jit) rather than PE counts: the TPU analog of the
+reference's MAX_READ_LEN/MAX_HAP_LEN/MAX_RSDATA_NUM device caps
+(pairhmm/xlnx/common/common.h:3-11).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PairHMMConfig:
+    """PairHMM bucket geometry and numeric contract.
+
+    Mirrors the behavioural constants of the reference
+    (pairhmm/xlnx/common/common.h, pairhmm/xlnx/host/host_type.h:21):
+    read cap 192, hap cap 1024, fp32 underflow threshold 1e-28 with fp64
+    recompute.  Bucket shapes are rounded to TPU-friendly tiles.
+    """
+
+    # Padded read-length buckets (rows).  Each includes >=1 absorbing row,
+    # so a bucket of R accepts reads of length <= R - 1.
+    read_buckets: Tuple[int, ...] = (32, 64, 96, 128, 192, 256)
+    # Padded hap-length buckets (columns).
+    hap_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    # Lane batch per kernel invocation (pairs processed per grid step).
+    batch_tile: int = 128
+    # Max pairs per packed device batch (reference: MAX_RSDATA_NUM x
+    # MAX_HAPDATA_NUM tiling, 2048 x 128).
+    max_batch_pairs: int = 16384
+    # Below this fp32 result, recompute the pair in fp64 (MIN_ACCEPTED).
+    min_accepted: float = 1e-28
+    # Relative error tolerance for testing vs the fp64 oracle.
+    rel_tol: float = 5e-3
+
+    @property
+    def max_read_len(self) -> int:
+        return self.read_buckets[-1] - 1
+
+    @property
+    def max_hap_len(self) -> int:
+        return self.hap_buckets[-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class SmemConfig:
+    """SMEM engine geometry (smem/common/common.h:6-44)."""
+
+    min_seed_len: int = 19
+    max_intv_alloc: int = 256  # per-read output interval cap
+    batch_size: int = 1024
+    seq_length: int = 256  # per-read sequence slot
+    occ_interval: int = 64  # occ checkpoint spacing in the TPU index layout
+    # passes of mem_collect_intv (split_len/split_width/max_mem_intv)
+    split_len: int = 28
+    split_width: int = 10
+    max_mem_intv: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class SWConfig:
+    """HTC Smith-Waterman scoring + geometry (htc-sw/host/common.h:13-56)."""
+
+    w_match: int = 200
+    w_mismatch: int = -150
+    w_open: int = -260
+    w_extend: int = -11
+    max_seq_len: int = 1536
+    max_batch: int = 260
+    # padded (row, col) buckets for the fill kernel
+    seq_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 1536)
+    matrix_min_cutoff: int = int(-1e8)
+    low_init_value: int = -(1 << 30)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtendConfig:
+    """BWA-MEM seed-extension scoring (bwa-sw/sdaccel/smithwaterman.cpp:29-35)."""
+
+    o_del: int = 6
+    e_del: int = 1
+    o_ins: int = 6
+    e_ins: int = 1
+    pen_clip: int = 5
+    w: int = 100
+    match: int = 1
+    mismatch: int = -4
+    ambig: int = -1
+    max_qlen: int = 256
+    max_tlen: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    pairhmm: PairHMMConfig = PairHMMConfig()
+    smem: SmemConfig = SmemConfig()
+    sw: SWConfig = SWConfig()
+    extend: ExtendConfig = ExtendConfig()
+    # device mesh axes: data parallel over batches, sequence parallel over
+    # hap/target columns (see parallel/)
+    mesh_shape: Tuple[int, int] = (1, 1)
+    mesh_axes: Tuple[str, str] = ("data", "seq")

@@ -1,0 +1,116 @@
+"""Dense batch packing for the PairHMM kernels.
+
+The reference feeds its device a flat bit-packed bundle with per-PU
+trip-count load balancing (pairhmm/interface/PairHMMFpgaInterface.cpp:
+pack_fpga_input / dist_reads_to_pu).  The TPU analog is a dense padded
+batch of per-row transition/emission coefficients, shaped for the VPU:
+
+* reads are padded to a bucketed row count R with **absorbing rows**
+  (pMM=pGapM=pMY=pYY=0, pMX=pXX=1).  An absorbing row turns X into a
+  column-wise collector:  X[r+1][c] = M[r][c] + X[r][c], and further
+  absorbing rows propagate it unchanged — so for *any* read length
+  < R the final row's X holds exactly the last real row's M+X, and the
+  forward result is sum(X[R]) regardless of per-pair length.  This
+  removes every per-pair gather from the hot loop.
+* haps are padded to a bucketed column count H with the sentinel
+  HAP_PAD; emission probability is forced to 0 there, so padded columns
+  contribute exactly nothing (M stays 0, X stays 0 down the column).
+
+Both the XLA row-scan implementation and the Pallas anti-diagonal kernel
+consume this layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+from acc_genomics_tpu.utils.convert import HAP_PAD
+
+
+@dataclasses.dataclass
+class PackedPairHMMBatch:
+    # (B, R) per-row coefficients, absorbing rows applied
+    p_mm: np.ndarray
+    p_gapm: np.ndarray
+    p_mx: np.ndarray
+    p_xx: np.ndarray
+    p_my: np.ndarray
+    p_yy: np.ndarray
+    em_match: np.ndarray
+    em_mis: np.ndarray
+    rs: np.ndarray  # (B, R) int32 base codes (0..4; padding rows hold 0)
+    hap: np.ndarray  # (B, H) int32 base codes (0..4, HAP_PAD beyond haplen)
+    y0: np.ndarray  # (B,) initial Y row value = INITIAL_CONSTANT / haplen
+    rslen: np.ndarray  # (B,) int32
+    haplen: np.ndarray  # (B,) int32
+
+    @property
+    def batch(self) -> int:
+        return self.rs.shape[0]
+
+    @property
+    def rows(self) -> int:
+        return self.rs.shape[1]
+
+    @property
+    def cols(self) -> int:
+        return self.hap.shape[1]
+
+    @property
+    def cells(self) -> int:
+        """Effective (unpadded) cell count — the GCUPS numerator."""
+        return int((self.rslen.astype(np.int64) * self.haplen).sum())
+
+
+def pack_pairhmm_batch(
+    testcases: Sequence[dict],
+    rows: int,
+    cols: int,
+    dtype=np.float32,
+) -> PackedPairHMMBatch:
+    """Pack testcase dicts (rs,q,i,d,c,hap arrays) into a dense batch.
+
+    Requires max(rslen) < rows (>= 1 absorbing row) and max(haplen) <= cols.
+    """
+    dt = np.dtype(dtype).type
+    ctx = PairHMMContext(dtype)
+    b = len(testcases)
+    shape = (b, rows)
+    p_mm = np.zeros(shape, dtype)
+    p_gapm = np.zeros(shape, dtype)
+    p_mx = np.ones(shape, dtype)
+    p_xx = np.ones(shape, dtype)
+    p_my = np.zeros(shape, dtype)
+    p_yy = np.zeros(shape, dtype)
+    em_match = np.zeros(shape, dtype)
+    em_mis = np.zeros(shape, dtype)
+    rs = np.zeros(shape, np.int32)
+    hap = np.full((b, cols), HAP_PAD, np.int32)
+    y0 = np.zeros(b, dtype)
+    rslen = np.zeros(b, np.int32)
+    haplen = np.zeros(b, np.int32)
+
+    for k, tc in enumerate(testcases):
+        r = len(tc["rs"])
+        h = len(tc["hap"])
+        if r >= rows:
+            raise ValueError(f"read length {r} needs bucket > {rows} rows")
+        if h > cols:
+            raise ValueError(f"hap length {h} exceeds bucket cols {cols}")
+        t = ctx.transitions(tc["i"], tc["d"], tc["c"])
+        p_mm[k, :r], p_gapm[k, :r], p_mx[k, :r], p_xx[k, :r], p_my[k, :r], p_yy[k, :r] = t
+        em_match[k, :r], em_mis[k, :r] = ctx.emissions(tc["q"])
+        rs[k, :r] = np.asarray(tc["rs"], dtype=np.int32)
+        hap[k, :h] = np.asarray(tc["hap"], dtype=np.int32)
+        y0[k] = ctx.initial_constant / dt(h)
+        rslen[k] = r
+        haplen[k] = h
+
+    return PackedPairHMMBatch(
+        p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
+        em_match, em_mis, rs, hap, y0, rslen, haplen,
+    )

@@ -1,0 +1,30 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Hardware-free testing is the analog of the reference's sw_emu/hw_emu +
+LOCAL_BLAZE flows (SURVEY.md §4): kernels and the multi-chip sharding path
+are validated on host CPU devices; the real chip is only needed for bench.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# NOTE: the JAX_PLATFORMS env var is not honoured in this environment (the
+# axon TPU plugin still wins); the config route works and avoids touching
+# the TPU tunnel from unit tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
