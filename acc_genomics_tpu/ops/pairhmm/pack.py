@@ -16,8 +16,12 @@ batch of per-row transition/emission coefficients, shaped for the VPU:
   HAP_PAD; emission probability is forced to 0 there, so padded columns
   contribute exactly nothing (M stays 0, X stays 0 down the column).
 
-Both the XLA row-scan implementation and the Pallas anti-diagonal kernel
-consume this layout.
+All per-row arrays are laid out **time-major (R, B)** on the host: the
+row scan and the Pallas diagonal kernel both consume (rows, lanes)
+blocks directly, so no transposes ever run on the device (XLA TPU
+transposes of these shapes measured ~30x the kernel cost).  The batch
+is padded to a multiple of 128 lanes with inert pairs (all-absorbing
+rows, y0 = 0 -> result 0).
 """
 
 from __future__ import annotations
@@ -30,10 +34,12 @@ import numpy as np
 from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
 from acc_genomics_tpu.utils.convert import HAP_PAD
 
+LANES = 128
+
 
 @dataclasses.dataclass
 class PackedPairHMMBatch:
-    # (B, R) per-row coefficients, absorbing rows applied
+    # (R, B) per-row coefficients, absorbing rows applied, time-major
     p_mm: np.ndarray
     p_gapm: np.ndarray
     p_mx: np.ndarray
@@ -42,28 +48,37 @@ class PackedPairHMMBatch:
     p_yy: np.ndarray
     em_match: np.ndarray
     em_mis: np.ndarray
-    rs: np.ndarray  # (B, R) int32 base codes (0..4; padding rows hold 0)
-    hap: np.ndarray  # (B, H) int32 base codes (0..4, HAP_PAD beyond haplen)
+    rs: np.ndarray  # (R, B) int32 base codes (0..4; padding rows hold 0)
+    # (R + H, B) int32: hap codes per diagonal step, HAP_PAD beyond haplen
+    hap_ext: np.ndarray
     y0: np.ndarray  # (B,) initial Y row value = INITIAL_CONSTANT / haplen
-    rslen: np.ndarray  # (B,) int32
+    rslen: np.ndarray  # (B,) int32 (0 for batch-padding lanes)
     haplen: np.ndarray  # (B,) int32
+    n_real: int  # leading lanes that hold real pairs
 
     @property
     def batch(self) -> int:
-        return self.rs.shape[0]
-
-    @property
-    def rows(self) -> int:
         return self.rs.shape[1]
 
     @property
+    def rows(self) -> int:
+        return self.rs.shape[0]
+
+    @property
     def cols(self) -> int:
-        return self.hap.shape[1]
+        return self.hap_ext.shape[0] - self.rs.shape[0]
 
     @property
     def cells(self) -> int:
         """Effective (unpadded) cell count — the GCUPS numerator."""
         return int((self.rslen.astype(np.int64) * self.haplen).sum())
+
+    def arrays(self):
+        return (
+            self.p_mm, self.p_gapm, self.p_mx, self.p_xx, self.p_my,
+            self.p_yy, self.em_match, self.em_mis, self.rs, self.hap_ext,
+            self.y0,
+        )
 
 
 def pack_pairhmm_batch(
@@ -71,6 +86,7 @@ def pack_pairhmm_batch(
     rows: int,
     cols: int,
     dtype=np.float32,
+    pad_lanes: bool = True,
 ) -> PackedPairHMMBatch:
     """Pack testcase dicts (rs,q,i,d,c,hap arrays) into a dense batch.
 
@@ -78,8 +94,11 @@ def pack_pairhmm_batch(
     """
     dt = np.dtype(dtype).type
     ctx = PairHMMContext(dtype)
-    b = len(testcases)
-    shape = (b, rows)
+    n_real = len(testcases)
+    b = n_real
+    if pad_lanes and b % LANES:
+        b += LANES - b % LANES
+    shape = (rows, b)
     p_mm = np.zeros(shape, dtype)
     p_gapm = np.zeros(shape, dtype)
     p_mx = np.ones(shape, dtype)
@@ -89,7 +108,7 @@ def pack_pairhmm_batch(
     em_match = np.zeros(shape, dtype)
     em_mis = np.zeros(shape, dtype)
     rs = np.zeros(shape, np.int32)
-    hap = np.full((b, cols), HAP_PAD, np.int32)
+    hap_ext = np.full((rows + cols, b), HAP_PAD, np.int32)
     y0 = np.zeros(b, dtype)
     rslen = np.zeros(b, np.int32)
     haplen = np.zeros(b, np.int32)
@@ -102,15 +121,15 @@ def pack_pairhmm_batch(
         if h > cols:
             raise ValueError(f"hap length {h} exceeds bucket cols {cols}")
         t = ctx.transitions(tc["i"], tc["d"], tc["c"])
-        p_mm[k, :r], p_gapm[k, :r], p_mx[k, :r], p_xx[k, :r], p_my[k, :r], p_yy[k, :r] = t
-        em_match[k, :r], em_mis[k, :r] = ctx.emissions(tc["q"])
-        rs[k, :r] = np.asarray(tc["rs"], dtype=np.int32)
-        hap[k, :h] = np.asarray(tc["hap"], dtype=np.int32)
+        p_mm[:r, k], p_gapm[:r, k], p_mx[:r, k], p_xx[:r, k], p_my[:r, k], p_yy[:r, k] = t
+        em_match[:r, k], em_mis[:r, k] = ctx.emissions(tc["q"])
+        rs[:r, k] = np.asarray(tc["rs"], dtype=np.int32)
+        hap_ext[:h, k] = np.asarray(tc["hap"], dtype=np.int32)
         y0[k] = ctx.initial_constant / dt(h)
         rslen[k] = r
         haplen[k] = h
 
     return PackedPairHMMBatch(
         p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
-        em_match, em_mis, rs, hap, y0, rslen, haplen,
+        em_match, em_mis, rs, hap_ext, y0, rslen, haplen, n_real,
     )

@@ -1,0 +1,62 @@
+"""Pallas diagonal kernel vs oracle (interpret mode on CPU)."""
+
+import numpy as np
+
+from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+from acc_genomics_tpu.ops.pairhmm.kernel import forward_from_pack_pallas
+from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
+from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
+
+
+def _oracle_logs(tcs):
+    return np.array(
+        [
+            pairhmm_loglik_oracle(
+                tc["rs"], tc["q"], tc["i"], tc["d"], tc["c"], tc["hap"], np.float64
+            )
+            for tc in tcs
+        ]
+    )
+
+
+def _kernel_logs(pack):
+    res = np.asarray(forward_from_pack_pallas(pack, interpret=True))
+    ctx = PairHMMContext(np.float32)
+    return np.log10(res.astype(np.float64)) - np.float64(ctx.log10_initial_constant)
+
+
+def test_pallas_kernel_matches_oracle(rng):
+    tcs = gen_pairhmm_pairs(rng, 128, max_read_len=15, max_hap_len=24)
+    pack = pack_pairhmm_batch(tcs, rows=16, cols=24, dtype=np.float32)
+    np.testing.assert_allclose(_kernel_logs(pack), _oracle_logs(tcs), rtol=5e-3)
+
+
+def test_pallas_kernel_mixed_lengths_with_n(rng):
+    tcs = gen_pairhmm_pairs(rng, 120, max_read_len=23, max_hap_len=30)
+    tcs += gen_pairhmm_pairs(rng, 8, max_read_len=3, max_hap_len=5)
+    for t in tcs[::9]:
+        t["rs"][::6] = 4
+        t["hap"][::5] = 4
+    pack = pack_pairhmm_batch(tcs, rows=24, cols=32, dtype=np.float32)
+    np.testing.assert_allclose(_kernel_logs(pack), _oracle_logs(tcs), rtol=5e-3)
+
+
+def test_pallas_batch_not_multiple_of_lanes(rng):
+    tcs = gen_pairhmm_pairs(rng, 5, max_read_len=7, max_hap_len=9)
+    pack = pack_pairhmm_batch(tcs, rows=8, cols=16, dtype=np.float32, pad_lanes=False)
+    try:
+        forward_from_pack_pallas(pack, interpret=True)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "multiple of 128" in str(e)
+
+
+def test_packer_lane_padding_inert(rng):
+    # 5 real pairs padded to 128 lanes: padded lanes produce 0
+    tcs = gen_pairhmm_pairs(rng, 5, max_read_len=7, max_hap_len=9)
+    pack = pack_pairhmm_batch(tcs, rows=8, cols=16, dtype=np.float32)
+    assert pack.batch == 128 and pack.n_real == 5
+    res = np.asarray(forward_from_pack_pallas(pack, interpret=True))
+    assert np.all(res[5:] == 0.0)
+    assert np.all(res[:5] > 0.0)
