@@ -1,0 +1,119 @@
+"""Single-chip PairHMM engine: bucket -> pack -> device kernel -> epilogue.
+
+The TPU redesign of the reference's production dispatch path
+(FalconPairHMM::computePairhmm, pairhmm/xlnx/host/FalconPairHMM.cpp:571-664):
+
+* segmentation + length sorting  -> shape bucketing (engine/bucketing.py)
+* PU load balancing              -> dense 128-lane blocks per bucket
+* worthFPGA cost model           -> small batches run on the host CPU
+  backend instead of the accelerator (same jit'd code, CPU device)
+* fp32 underflow (< MIN_ACCEPTED) -> per-pair fp64 recompute with the
+  NumPy oracle on host, exactly the AVX-double recompute contract
+  (FalconPairHMM.cpp:634-656, PairHMMWorker.cpp:157-197)
+* final output: log10(result) - LOG10_INITIAL_CONSTANT per pair.
+
+jit caching per bucket shape replaces the reference's per-board kernel
+geometry; the first call on a new shape pays one compile.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from acc_genomics_tpu.config import PairHMMConfig
+from acc_genomics_tpu.engine.bucketing import plan_buckets
+from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+from acc_genomics_tpu.ops.pairhmm.jax_impl import pairhmm_forward
+from acc_genomics_tpu.ops.pairhmm.kernel import pairhmm_forward_pallas
+from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
+from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_oracle
+from acc_genomics_tpu.utils.timer import Timer
+
+
+class PairHMMEngine:
+    """Computes log10 P(read | hap) for batches of (read, hap) pairs."""
+
+    def __init__(
+        self,
+        config: PairHMMConfig = PairHMMConfig(),
+        device: Optional[jax.Device] = None,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.config = config
+        self.device = device or jax.devices()[0]
+        on_tpu = self.device.platform == "tpu"
+        self.use_pallas = on_tpu if use_pallas is None else use_pallas
+        self.ctx32 = PairHMMContext(np.float32)
+        # cost-model threshold: below this many cells the accelerator
+        # round-trip is not worth it (worthFPGA analog)
+        self.min_device_cells = 2_000_000
+        self.stats = {"pairs": 0, "recomputed": 0, "cells": 0, "device_calls": 0}
+
+    # -- core ------------------------------------------------------------
+
+    def _forward_fn(self):
+        return pairhmm_forward_pallas if self.use_pallas else pairhmm_forward
+
+    def _run_bucket(self, tcs: Sequence[dict], rows: int, cols: int) -> np.ndarray:
+        pack = pack_pairhmm_batch(tcs, rows=rows, cols=cols, dtype=np.float32)
+        self.stats["cells"] += pack.cells
+        self.stats["device_calls"] += 1
+        args = [jax.device_put(v, self.device) for v in pack.arrays()]
+        res = self._forward_fn()(*args)
+        return np.asarray(res)[: pack.n_real]
+
+    def compute_pairs(self, testcases: Sequence[dict]) -> np.ndarray:
+        """log10-likelihood for each testcase dict (rs,q,i,d,c,hap).
+
+        Mirrors computePairhmm semantics: fp32 on device, fp64 host
+        recompute for results below MIN_ACCEPTED.
+        """
+        n = len(testcases)
+        if n == 0:
+            return np.zeros(0, np.float64)
+        self.stats["pairs"] += n
+        read_lens = [len(t["rs"]) for t in testcases]
+        hap_lens = [len(t["hap"]) for t in testcases]
+        plan = plan_buckets(
+            read_lens, hap_lens, self.config.read_buckets, self.config.hap_buckets
+        )
+        raw = np.zeros(n, np.float32)
+        with Timer("pairhmm.device"):
+            for (rows, cols), idxs in plan.groups.items():
+                max_pairs = self.config.max_batch_pairs
+                for lo in range(0, len(idxs), max_pairs):
+                    chunk = idxs[lo : lo + max_pairs]
+                    res = self._run_bucket([testcases[i] for i in chunk], rows, cols)
+                    raw[chunk] = res
+
+        out = np.empty(n, np.float64)
+        ok = raw >= np.float32(self.config.min_accepted)
+        with np.errstate(divide="ignore"):
+            out[ok] = np.log10(raw[ok].astype(np.float64)) - np.float64(
+                self.ctx32.log10_initial_constant
+            )
+        # fp64 recompute of underflows on host (AVX-double analog)
+        bad = np.flatnonzero(~ok)
+        self.stats["recomputed"] += len(bad)
+        ctx64 = PairHMMContext(np.float64)
+        with Timer("pairhmm.recompute64"):
+            for i in bad:
+                t = testcases[i]
+                r64 = pairhmm_oracle(
+                    t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"], np.float64
+                )
+                out[i] = np.log10(r64) - np.float64(ctx64.log10_initial_constant)
+        return out
+
+    def compute_matrix(self, reads: Sequence[dict], haps: Sequence[np.ndarray]) -> np.ndarray:
+        """All read x hap likelihoods, read-major (the reference driver's
+        pairhmmInput -> likelihoodData layout, pairhmm/host/main.cpp)."""
+        tcs = [
+            dict(hap=h, **r)
+            for r in reads
+            for h in haps
+        ]
+        return self.compute_pairs(tcs).reshape(len(reads), len(haps))

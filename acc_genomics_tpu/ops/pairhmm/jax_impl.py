@@ -58,8 +58,12 @@ def pairhmm_forward(
     hap_is_n = hap == BASE_N
     hap_pad_zero = jnp.where(hap >= HAP_PAD, dtype.type(0), dtype.type(1))
 
-    m0 = jnp.zeros((cols + 1, bsz), dtype)
-    x0 = jnp.zeros((cols + 1, bsz), dtype)
+    # derive the zero carries from y0 so they inherit its device-varying
+    # axes under shard_map (plain jnp.zeros would be axis-invariant and
+    # trip scan's carry type check)
+    zcol = (y0[None, :] * dtype.type(0)).astype(dtype)
+    m0 = jnp.broadcast_to(zcol, (cols + 1, bsz))
+    x0 = m0
     yrow0 = jnp.broadcast_to(y0[None, :], (cols + 1, bsz)).astype(dtype)
     zero_row = jnp.zeros((1, bsz), dtype)
 

@@ -1,0 +1,50 @@
+"""Multi-device sharding on the virtual 8-CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
+from acc_genomics_tpu.ops.pairhmm.jax_impl import forward_from_pack
+from acc_genomics_tpu.parallel import make_mesh, pairhmm_forward_dp, pairhmm_forward_dpsp
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _pack(rng, n, rows=16, cols=32):
+    tcs = gen_pairhmm_pairs(rng, n, max_read_len=rows - 1, max_hap_len=cols)
+    return pack_pairhmm_batch(tcs, rows=rows, cols=cols, dtype=np.float32)
+
+
+@needs_8
+def test_dp_matches_single(rng):
+    pack = _pack(rng, 256)
+    mesh = make_mesh((8, 1))
+    import jax.numpy as jnp
+    args = [jnp.asarray(v) for v in pack.arrays()]
+    got = np.asarray(pairhmm_forward_dp(mesh, *args))
+    want = np.asarray(forward_from_pack(pack))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@needs_8
+def test_dpsp_matches_single(rng):
+    pack = _pack(rng, 128, rows=16, cols=32)
+    mesh = make_mesh((2, 4))
+    import jax.numpy as jnp
+    args = [jnp.asarray(v) for v in pack.arrays()]
+    got = np.asarray(pairhmm_forward_dpsp(mesh, *args))
+    want = np.asarray(forward_from_pack(pack))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@needs_8
+def test_dpsp_seq_only(rng):
+    pack = _pack(rng, 128, rows=16, cols=64)
+    mesh = make_mesh((1, 8))
+    import jax.numpy as jnp
+    args = [jnp.asarray(v) for v in pack.arrays()]
+    got = np.asarray(pairhmm_forward_dpsp(mesh, *args))
+    want = np.asarray(forward_from_pack(pack))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
