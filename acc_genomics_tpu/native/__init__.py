@@ -1,0 +1,155 @@
+"""ctypes bindings for the native host runtime (libaccnative.so).
+
+Builds on demand with make; every entry point has a NumPy fallback in the
+pure-Python modules, so the package works without a toolchain (the
+native path is the production one, like the reference's C++ host code).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libaccnative.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libaccnative.so"], cwd=_DIR, check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.sais_build.argtypes = [_i8p, ctypes.c_int64, _i64p]
+    lib.cigar_walk_batch.argtypes = [
+        _i16p, _i32p, _i32p, _i32p, _i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _i32p, _i32p, _i32p,
+    ]
+    lib.pairhmm_pack.argtypes = [
+        _i8p, _i8p, _i8p, _i8p, _i8p, _i64p, _i32p,
+        _i8p, _i64p, _i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _f32p, _f32p, ctypes.c_float,
+        _f32p, _f32p, _f32p, _f32p, _f32p, _f32p, _f32p, _f32p,
+        _i32p, _i32p, _f32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def suffix_array(text: np.ndarray) -> Optional[np.ndarray]:
+    """SA-IS suffix array of a uint8 text; None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = np.empty(len(text), dtype=np.int64)
+    lib.sais_build(text, len(text), sa)
+    return sa
+
+
+def cigar_walk(
+    btrack: np.ndarray,  # (B, R, C) int16
+    sw_lastrow: np.ndarray,  # (B, C+1) int32
+    sw_altcol: np.ndarray,  # (B, R) int32
+    reflen: np.ndarray,
+    altlen: np.ndarray,
+    strategy: int,
+    max_elems: int = 1536,
+) -> Optional[List[Tuple[list, int]]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    btrack = np.ascontiguousarray(btrack, np.int16)
+    b, rows, cols = btrack.shape
+    out_elems = np.zeros((b, max_elems, 2), np.int32)
+    out_n = np.zeros(b, np.int32)
+    out_off = np.zeros(b, np.int32)
+    lib.cigar_walk_batch(
+        btrack, np.ascontiguousarray(sw_lastrow, np.int32),
+        np.ascontiguousarray(sw_altcol, np.int32),
+        np.ascontiguousarray(reflen, np.int32),
+        np.ascontiguousarray(altlen, np.int32),
+        b, rows, cols, strategy, max_elems,
+        out_elems.reshape(-1), out_n, out_off,
+    )
+    res = []
+    for k in range(b):
+        n = int(out_n[k])
+        if n > max_elems:
+            res.append(None)  # overflow; caller reruns on host
+            continue
+        cigar = [(int(out_elems[k, j, 0]), int(out_elems[k, j, 1])) for j in range(n)]
+        res.append((cigar, int(out_off[k])))
+    return res
+
+
+def pairhmm_pack_native(testcases, rows, cols, ph2pr, m2m, initial_constant):
+    """Native fill of the time-major PairHMM batch (float32).  Returns the
+    same arrays as ops.pairhmm.pack or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = len(testcases)
+    lens = np.array([len(t["rs"]) for t in testcases], np.int32)
+    hlens = np.array([len(t["hap"]) for t in testcases], np.int32)
+    offs = np.zeros(b, np.int64)
+    hoffs = np.zeros(b, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:]) if b > 1 else None
+    np.cumsum(hlens[:-1], out=hoffs[1:]) if b > 1 else None
+    cat = lambda key: np.ascontiguousarray(
+        np.concatenate([np.asarray(t[key], np.uint8) for t in testcases])
+        if b else np.zeros(0, np.uint8)
+    )
+    rs, q, i, d, c = cat("rs"), cat("q"), cat("i"), cat("d"), cat("c")
+    hap = cat("hap")
+    shape = (rows, b)
+    arrs = [np.empty(shape, np.float32) for _ in range(8)]
+    rs_out = np.empty(shape, np.int32)
+    hap_ext = np.empty((rows + cols, b), np.int32)
+    y0 = np.empty(b, np.float32)
+    lib.pairhmm_pack(
+        rs, q, i, d, c, offs, lens, hap, hoffs, hlens,
+        b, rows, cols,
+        np.ascontiguousarray(ph2pr, np.float32),
+        np.ascontiguousarray(m2m, np.float32),
+        float(initial_constant),
+        *[a.reshape(-1) for a in arrs],
+        rs_out.reshape(-1), hap_ext.reshape(-1), y0,
+    )
+    return arrs, rs_out, hap_ext, y0, lens.astype(np.int32), hlens.astype(np.int32)

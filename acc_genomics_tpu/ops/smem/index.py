@@ -81,7 +81,11 @@ class FMIndex:
             raise ValueError("index genome must be N-free (codes 0..3)")
         text = np.concatenate([genome, revcomp(genome)])
         n = len(text)
-        sa_inner = _suffix_array(text)
+        from acc_genomics_tpu import native
+
+        sa_inner = native.suffix_array(text)  # linear-time SA-IS (C++)
+        if sa_inner is None:
+            sa_inner = _suffix_array(text)  # NumPy fallback
         # full SA over n+1 rotations with sentinel: sentinel suffix (empty)
         # sorts first -> row 0; remaining rows follow sa_inner order
         sa = np.empty(n + 1, dtype=np.int64)
