@@ -1,0 +1,128 @@
+"""Seed-extension engine: batched left/right extension with resolution.
+
+The TPU analog of the reference's seed pipeline (bwa-sw/sdaccel/
+smithwaterman.cpp read_proc/seed_proc): seeds are flattened into a batch,
+all LEFT extensions run as one device call, then all RIGHT extensions
+(whose h0 is the left result) as a second call — the dependent 2-step
+loop of seed_proc becomes two dense batches instead of 20 seed PEs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acc_genomics_tpu.config import ExtendConfig
+from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
+from acc_genomics_tpu.ops.extend.reference import PEN_CLIP, W_IN
+from acc_genomics_tpu.utils.timer import Timer
+
+
+def _round_up(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds extension buckets {buckets}")
+
+
+class ExtendEngine:
+    def __init__(self, config: ExtendConfig = ExtendConfig(), device: Optional[jax.Device] = None):
+        self.config = config
+        self.device = device or jax.devices()[0]
+        self.q_buckets = (32, 64, 128, 256)
+        self.t_buckets = (64, 128, 256, 512, 1024)
+        self.stats = {"seeds": 0, "device_calls": 0}
+
+    def _run(self, queries, targets, h0s) -> Dict[str, np.ndarray]:
+        """One direction for a set of tasks, bucketed by padded shape."""
+        n = len(queries)
+        out = {k: np.zeros(n, np.int64) for k in
+               ("score", "qle", "tle", "gtle", "gscore", "max_off", "w")}
+        groups = {}
+        for k in range(n):
+            bq = _round_up(max(len(queries[k]), 1), self.q_buckets)
+            bt = _round_up(max(len(targets[k]), 1), self.t_buckets)
+            groups.setdefault((bq, bt), []).append(k)
+        for (bq, bt), idxs in groups.items():
+            bsz = len(idxs)
+            q_tm = np.full((bq, bsz), 4, np.int32)
+            t_tm = np.full((bt, bsz), 4, np.int32)
+            qlen = np.zeros(bsz, np.int32)
+            tlen = np.zeros(bsz, np.int32)
+            h0 = np.zeros(bsz, np.int32)
+            for j, k in enumerate(idxs):
+                q, t = queries[k], targets[k]
+                q_tm[: len(q), j] = q
+                t_tm[: len(t), j] = t
+                qlen[j] = len(q)
+                tlen[j] = len(t)
+                h0[j] = h0s[k]
+            self.stats["device_calls"] += 1
+            with Timer("extend.device"):
+                res = sw_extend_batch(
+                    jax.device_put(jnp.asarray(q_tm), self.device),
+                    jax.device_put(jnp.asarray(t_tm), self.device),
+                    jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(h0),
+                    jnp.asarray(qlen), jnp.asarray(qlen),
+                )
+            for key in out:
+                vals = np.asarray(res[key])
+                for j, k in enumerate(idxs):
+                    out[key][k] = vals[j]
+        return out
+
+    def extend_seeds(self, seeds: Sequence[dict]) -> List[dict]:
+        """Each seed: read, rseq, qbeg, rbeg_off, len -> resolved alignment
+        record (qBeg/qEnd/rBeg/rEnd/score/trueScore/width), seed_proc
+        semantics."""
+        n = len(seeds)
+        self.stats["seeds"] += n
+        left_q, left_t, right_q, right_t = [], [], [], []
+        for s in seeds:
+            read, rseq = s["read"], s["rseq"]
+            qb, ro, sl = s["qbeg"], s["rbeg_off"], s["len"]
+            left_q.append(read[:qb][::-1].copy())
+            left_t.append(rseq[:ro][::-1].copy())
+            right_q.append(read[qb + sl :].copy())
+            right_t.append(rseq[ro + sl :].copy())
+
+        h0_left = [s["len"] for s in seeds]
+        lres = self._run(left_q, left_t, h0_left)
+        h0_right = lres["score"]
+        rres = self._run(right_q, right_t, h0_right)
+
+        out = []
+        for k, s in enumerate(seeds):
+            sl, qb = s["len"], s["qbeg"]
+            reg = int(lres["score"][k])
+            # left resolution
+            if lres["gscore"][k] <= 0 or lres["gscore"][k] <= reg - PEN_CLIP:
+                q_beg = qb - int(lres["qle"][k])
+                r_beg = -int(lres["tle"][k])
+                true_score = reg
+            else:
+                q_beg = 0
+                r_beg = -int(lres["gtle"][k])
+                true_score = int(lres["gscore"][k])
+            # right resolution
+            sc0 = reg
+            reg = int(rres["score"][k])
+            if rres["gscore"][k] <= 0 or rres["gscore"][k] <= reg - PEN_CLIP:
+                q_end = int(rres["qle"][k])
+                r_end = int(rres["tle"][k])
+                true_score += reg - sc0
+            else:
+                q_end = len(right_q[k])
+                r_end = int(rres["gtle"][k])
+                true_score += int(rres["gscore"][k]) - sc0
+            out.append(
+                dict(
+                    qBeg=q_beg, qEnd=q_end, rBeg=r_beg, rEnd=r_end,
+                    score=reg, trueScore=true_score,
+                    width=max(int(lres["w"][k]), int(rres["w"][k])),
+                )
+            )
+        return out

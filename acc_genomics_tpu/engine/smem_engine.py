@@ -1,0 +1,64 @@
+"""SMEM engine: device-resident FM-index + batched collection.
+
+The index is uploaded once and kept in HBM across calls — the TPU analog
+of the reference writing the (replicated) BWT to every DRAM bank at init
+(smem/host/ocl.cpp:169-293) and of BWAOCLEnv's one-time pac preload.
+Reads whose interval count exceeds MAX_INTV_ALLOC are rerun on the host
+oracle, matching the reference's overflow contract (smem/main.cpp:158-164).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from acc_genomics_tpu.config import SmemConfig
+from acc_genomics_tpu.ops.smem.index import FMIndex
+from acc_genomics_tpu.ops.smem.jax_impl import MAX_OUT, device_index, smem_batch
+from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
+from acc_genomics_tpu.utils.timer import Timer
+
+
+class SmemEngine:
+    def __init__(
+        self,
+        fm: FMIndex,
+        config: SmemConfig = SmemConfig(),
+        device: Optional[jax.Device] = None,
+    ):
+        self.fm = fm
+        self.config = config
+        self.device = device or jax.devices()[0]
+        with Timer("smem.index_upload"):
+            idx = device_index(fm)
+            self.idx = {
+                k: (jax.device_put(v, self.device) if hasattr(v, "shape") else v)
+                for k, v in idx.items()
+            }
+        self.stats = {"reads": 0, "overflow_reruns": 0}
+
+    def collect(self, reads: List[np.ndarray]) -> List[List[dict]]:
+        """3-pass SMEM intervals per read."""
+        self.stats["reads"] += len(reads)
+        seq_len = self.config.seq_length
+        out: List = [None] * len(reads)
+        # route oversized reads straight to host
+        dev_idx = [k for k, r in enumerate(reads) if len(r) <= seq_len]
+        host_idx = [k for k, r in enumerate(reads) if len(r) > seq_len]
+        if dev_idx:
+            with Timer("smem.device"):
+                res, overflow = smem_batch(
+                    self.idx, [reads[k] for k in dev_idx], seq_len=seq_len
+                )
+            for j, k in enumerate(dev_idx):
+                if overflow[j]:
+                    host_idx.append(k)
+                    self.stats["overflow_reruns"] += 1
+                else:
+                    out[k] = res[j]
+        with Timer("smem.host"):
+            for k in host_idx:
+                out[k] = mem_collect_intv_oracle(self.fm, reads[k])
+        return out

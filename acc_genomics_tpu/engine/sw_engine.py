@@ -1,0 +1,107 @@
+"""HTC Smith-Waterman engine: bucket -> device fill -> native CIGAR walk.
+
+Replaces the reference dispatch gate FalconSWFPGA_run
+(htc-sw/host/FalconSW_FPGA.cpp:16-94): sequences beyond the largest
+bucket fall back to the host oracle (the reference routes len >= 512 to
+AVX); everything else runs the batched device fill with backtrack on the
+native walker (Python fallback).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acc_genomics_tpu import native
+from acc_genomics_tpu.config import SWConfig
+from acc_genomics_tpu.ops.sw.jax_impl import sw_backtrack_slim, sw_fill
+from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
+from acc_genomics_tpu.utils.timer import Timer
+
+
+class SWEngine:
+    def __init__(self, config: SWConfig = SWConfig(), device: Optional[jax.Device] = None):
+        self.config = config
+        self.device = device or jax.devices()[0]
+        self.stats = {"pairs": 0, "host_fallback": 0, "cells": 0}
+
+    def _bucket(self, n: int) -> Optional[int]:
+        for b in self.config.seq_buckets:
+            if n <= b:
+                return b
+        return None
+
+    def align(
+        self,
+        refs: Sequence[np.ndarray],
+        alts: Sequence[np.ndarray],
+        strategy: int,
+    ) -> List[Tuple[list, int]]:
+        """Batch alignment -> [(cigar, offset)] in input order."""
+        n = len(refs)
+        self.stats["pairs"] += n
+        out: List = [None] * n
+        groups = {}
+        for k, (r, a) in enumerate(zip(refs, alts)):
+            br = self._bucket(len(r))
+            ba = self._bucket(len(a))
+            if br is None or ba is None:
+                # beyond device buckets: host oracle (AVX-fallback analog)
+                self.stats["host_fallback"] += 1
+                out[k] = sw_align_oracle(r, a, strategy)
+                continue
+            groups.setdefault((br, ba), []).append(k)
+
+        for (rows, cols), idxs in groups.items():
+            bsz = len(idxs)
+            ref_tm = np.full((rows, bsz), 255, np.int32)
+            alt_tm = np.full((cols, bsz), 255, np.int32)
+            reflen = np.zeros(bsz, np.int32)
+            altlen = np.zeros(bsz, np.int32)
+            for j, k in enumerate(idxs):
+                r, a = refs[k], alts[k]
+                ref_tm[: len(r), j] = r
+                alt_tm[: len(a), j] = a
+                reflen[j] = len(r)
+                altlen[j] = len(a)
+                self.stats["cells"] += len(r) * len(a)
+            with Timer("sw.fill"):
+                bt, lastrow, altcol = sw_fill(
+                    jax.device_put(jnp.asarray(ref_tm), self.device),
+                    jax.device_put(jnp.asarray(alt_tm), self.device),
+                    jax.device_put(jnp.asarray(reflen), self.device),
+                    jax.device_put(jnp.asarray(altlen), self.device),
+                    strategy,
+                )
+                bt = np.asarray(bt).transpose(2, 0, 1)
+                lastrow = np.asarray(lastrow).T
+                altcol = np.asarray(altcol).T
+            with Timer("sw.backtrack"):
+                walked = native.cigar_walk(
+                    bt, lastrow, altcol, reflen, altlen, strategy,
+                    max_elems=self.config.max_seq_len,
+                )
+                if walked is None:
+                    walked = [
+                        sw_backtrack_slim(
+                            bt[j], lastrow[j], altcol[j],
+                            int(reflen[j]), int(altlen[j]), strategy,
+                        )
+                        for j in range(bsz)
+                    ]
+            for j, k in enumerate(idxs):
+                res = walked[j]
+                if res is None:  # native element overflow: host rerun
+                    res = sw_backtrack_slim(
+                        bt[j], lastrow[j], altcol[j],
+                        int(reflen[j]), int(altlen[j]), strategy,
+                    )
+                out[k] = res
+        return out
+
+    def align_one_ref(self, ref: np.ndarray, alts: Sequence[np.ndarray], strategy: int):
+        """SWPairwiseAlignmentMultiBatch analog: one ref vs many alts."""
+        return self.align([ref] * len(alts), alts, strategy)

@@ -66,6 +66,8 @@ def revcomp(seq: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass
 class FMIndex:
     bwt: np.ndarray  # (2l,) uint8 BWT symbols ($ removed)
+    text: np.ndarray  # (2l,) uint8 indexed text (fwd + revcomp) — the
+    # on-host copy of the reference's pac preload (BWAOCLEnv)
     primary: int  # sentinel row
     L2: np.ndarray  # (5,) int64 cumulative symbol counts
     seq_len: int  # 2l
@@ -116,7 +118,7 @@ class FMIndex:
         shifts = (30 - 2 * np.arange(16, dtype=np.uint32))
         words = (codes << shifts[None, :]).sum(axis=1, dtype=np.uint32)
         bwt_packed = words.reshape(nblk, 4)
-        return cls(bwt, primary, L2, n, sa, occ_ckpt, bwt_packed)
+        return cls(bwt, text, primary, L2, n, sa, occ_ckpt, bwt_packed)
 
     # -- counting --------------------------------------------------------
 
