@@ -47,7 +47,9 @@ class ExtendEngine:
             bt = _round_up(max(len(targets[k]), 1), self.t_buckets)
             groups.setdefault((bq, bt), []).append(k)
         for (bq, bt), idxs in groups.items():
-            bsz = len(idxs)
+            bsz = 8  # pad to a power of two: few cached jit shapes
+            while bsz < len(idxs):
+                bsz *= 2
             q_tm = np.full((bq, bsz), 4, np.int32)
             t_tm = np.full((bt, bsz), 4, np.int32)
             qlen = np.zeros(bsz, np.int32)

@@ -56,7 +56,11 @@ class SWEngine:
             groups.setdefault((br, ba), []).append(k)
 
         for (rows, cols), idxs in groups.items():
-            bsz = len(idxs)
+            # pad the batch to the next power of two (>= 8) so jit caches a
+            # small number of shapes instead of one per batch size
+            bsz = 8
+            while bsz < len(idxs):
+                bsz *= 2
             ref_tm = np.full((rows, bsz), 255, np.int32)
             alt_tm = np.full((cols, bsz), 255, np.int32)
             reflen = np.zeros(bsz, np.int32)

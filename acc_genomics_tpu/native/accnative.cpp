@@ -177,6 +177,11 @@ void cigar_walk_batch(
     const int32_t* lastrow = sw_lastrow + (int64_t)b * (cols + 1);
     const int32_t* altcol = sw_altcol + (int64_t)b * rows;
     int rl = reflen[b], al = altlen[b];
+    if (rl <= 0 || al <= 0) {  // batch-padding lane: nothing to walk
+      out_n[b] = 0;
+      out_offset[b] = 0;
+      continue;
+    }
     int p1 = 0, p2 = al;
     long seg = 0;
     int n_el = 0;

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""BWA-SW extension driver: exact comparison of seed extension records.
+
+The analog of bwa-sw/sdaccel/main_cl.cpp: batches of (read, chain, seed)
+tasks run through the batched engine; the 5-int result records
+(qBeg,qEnd),(rBeg,rEnd),(score,trueScore),width compare exactly against
+the oracle, reordered by seed index.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", type=int, default=128)
+    ap.add_argument("--read-len", type=int, default=101)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, 20_000).astype(np.uint8)
+    engine = GenomicsEngine()
+
+    seeds = []
+    for _ in range(args.tasks):
+        pos = int(rng.integers(200, len(genome) - 400))
+        read = genome[pos : pos + args.read_len].copy()
+        err = rng.random(args.read_len) < 0.04
+        read[err] = (read[err] + rng.integers(1, 4, err.sum())) % 4
+        qbeg = int(rng.integers(5, args.read_len - 30))
+        slen = int(rng.integers(19, 25))
+        read[qbeg : qbeg + slen] = genome[pos + qbeg : pos + qbeg + slen]
+        span = genome[pos - 150 : pos + args.read_len + 150]
+        seeds.append(dict(read=read, rseq=span, qbeg=qbeg, rbeg_off=150 + qbeg, len=slen))
+
+    t0 = time.time()
+    got = engine.extend_seeds(seeds)
+    dt = time.time() - t0
+    failures = 0
+    for s, g in zip(seeds, got):
+        w = extend_seed_oracle(s["read"], s["rseq"], s["qbeg"], s["rbeg_off"], s["len"])
+        if g != w:
+            failures += 1
+    print(
+        f"{args.tasks} seeds in {dt*1e3:.1f}ms ({args.tasks/dt:.0f} seeds/s) "
+        f"{'FAILED ' + str(failures) if failures else 'PASSED'}"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
