@@ -23,9 +23,17 @@ from acc_genomics_tpu.utils.timer import Timer
 
 
 class SWEngine:
-    def __init__(self, config: SWConfig = SWConfig(), device: Optional[jax.Device] = None):
+    def __init__(
+        self,
+        config: SWConfig = SWConfig(),
+        device: Optional[jax.Device] = None,
+        use_pallas: Optional[bool] = None,
+    ):
         self.config = config
         self.device = device or jax.devices()[0]
+        self.use_pallas = (
+            self.device.platform == "tpu" if use_pallas is None else use_pallas
+        )
         self.stats = {"pairs": 0, "host_fallback": 0, "cells": 0}
 
     def _bucket(self, n: int) -> Optional[int]:
@@ -56,6 +64,18 @@ class SWEngine:
             groups.setdefault((br, ba), []).append(k)
 
         for (rows, cols), idxs in groups.items():
+            if self.use_pallas:
+                # Pallas diagonal kernel (TPU): fills + host walk in one call
+                from acc_genomics_tpu.ops.sw.kernel import sw_align_batch_pallas
+
+                walked = sw_align_batch_pallas(
+                    [refs[k] for k in idxs], [alts[k] for k in idxs],
+                    strategy, rows, cols,
+                )
+                for j, k in enumerate(idxs):
+                    self.stats["cells"] += len(refs[k]) * len(alts[k])
+                    out[k] = walked[j]
+                continue
             # pad the batch to the next power of two (>= 8) so jit caches a
             # small number of shapes instead of one per batch size
             bsz = 8

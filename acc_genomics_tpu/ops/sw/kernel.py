@@ -1,0 +1,293 @@
+"""Pallas TPU kernel for the HTC Smith-Waterman fill.
+
+Same wavefront geometry as the PairHMM kernel (one lane per pair, ref
+rows on sublanes, one diagonal per step) applied to the integer
+affine-gap DP with step-length backtrack codes — the TPU counterpart of
+the reference's 8-PE anti-diagonal mini-kernel with rotating diagonal
+buffers (htc-sw/xlnx/smithWatermanMerlin.cpp:196-300).
+
+Per diagonal d, cell (i, j=d-i) (0-based interior; matrix row i+1, col
+j+1):
+
+  step_diag  = sw[d-2](i-1) + wd(ref[i], alt[j])          (shift down)
+  vertical   : per-column tracker rides the shift; update with
+               prev_gap = sw[d-1](i-1) + OPEN
+  horizontal : per-row tracker is stationary (each row appears once per
+               diagonal); update with prev_gap = sw[d-1](i) + OPEN
+  sw[d](i)   = clamp(max(diag, right, down)), priority diag >= right >= down
+  btrack     = 0 / -ki / kd, written diag-major via double-buffered DMA
+               to HBM (the host reorders diagonals into rows)
+
+Boundary injection: matrix row 0 enters via the shift-in (ramp for
+INDEL strategies), matrix column 0 via an i == d mask using the
+per-row ramp.  Cells beyond each pair's real lengths are computed but
+never read back (the DP only flows to larger indices).
+
+The start-cell scan needs the last real row and column of each pair's
+matrix; those are emitted diag-indexed — lastrow_diag[d] = sw at
+(reflen-1, d-reflen+1), altcol_diag[d] = sw at (d-altlen+1, altlen-1) —
+as masked row-reductions, and the host maps them back to (i, j) space.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from acc_genomics_tpu.ops.sw.reference import (
+    LOW_INIT,
+    MATRIX_MIN_CUTOFF,
+    OVERHANG_INDEL,
+    OVERHANG_LEADING_INDEL,
+    W_EXTEND,
+    W_MATCH,
+    W_MISMATCH,
+    W_OPEN,
+)
+
+LANES = 128
+I32 = jnp.int32
+DMA_GROUP = 16  # diagonals staged per btrack DMA burst
+
+
+def _sw_diag_kernel(
+    ref_ref, alt_ext_ref, reflen_ref, altlen_ref,
+    btr_out, lastrow_out, altcol_out,
+    sw_buf, bgv_buf, gsv_buf, bgh_buf, gsh_buf, ad_buf, btr_stage, dma_sems,
+    *, indel_init: bool,
+):
+    rows = ref_ref.shape[0]
+    n_diag = alt_ext_ref.shape[0]
+    cols = n_diag - rows
+    blk = pl.program_id(0)
+    refc = ref_ref[:]
+    reflen = reflen_ref[:]  # (1, B)
+    altlen = altlen_ref[:]
+
+    shape = refc.shape
+    ii = jax.lax.broadcasted_iota(I32, shape, 0)
+    row0 = ii == 0
+    zero = jnp.zeros(shape, I32)
+    low = jnp.full(shape, LOW_INIT, I32)
+
+    if indel_init:
+        colbnd = W_OPEN + ii * W_EXTEND  # matrix sw[i+1][0]
+        colbnd_prev = jnp.where(row0, 0, W_OPEN + (ii - 1) * W_EXTEND)  # sw[i][0]
+    else:
+        colbnd = zero
+        colbnd_prev = zero
+
+    sw_buf[0] = zero
+    sw_buf[1] = zero
+    bgv_buf[0] = low
+    bgv_buf[1] = low
+    gsv_buf[0] = zero
+    gsv_buf[1] = zero
+    bgh_buf[:] = low
+    gsh_buf[:] = zero
+    ad_buf[:] = jnp.full(shape, 255, I32)
+
+    last_sel = jnp.broadcast_to(reflen, shape) - 1
+    altc_sel = jnp.broadcast_to(altlen, shape) - 1
+
+    def rowbnd(d):
+        # matrix sw[0][jm]: the diag shift-in at i=0 needs sw[0][d] and the
+        # up-term needs sw[0][d+1]
+        if indel_init:
+            def ramp(jm):
+                return jnp.where(jm <= 0, 0, W_OPEN + (jm - 1) * W_EXTEND)
+            return ramp(d), ramp(d + 1)
+        return 0, 0
+
+    def step(d, cur, prv, off=0):
+        sw1 = sw_buf[prv]  # diagonal d-1
+        sw2 = sw_buf[cur]  # diagonal d-2 (about to be overwritten)
+        bgv = bgv_buf[prv]
+        gsv = gsv_buf[prv]
+
+        alt_d = alt_ext_ref[pl.ds(d, 1), :]
+        ad = jnp.where(row0, jnp.broadcast_to(alt_d, shape), pltpu.roll(ad_buf[:], 1, 0))
+        ad_buf[:] = ad
+
+        jd0 = ii == d
+        bnd_diag, bnd_up = rowbnd(d)
+
+        wd = jnp.where(ad == refc, W_MATCH, W_MISMATCH)
+        sw2s = jnp.where(row0, bnd_diag, pltpu.roll(sw2, 1, 0))
+        sw2s = jnp.where(jnp.logical_and(jd0, jnp.logical_not(row0)), colbnd_prev, sw2s)
+        step_diag = sw2s + wd
+
+        sw1s = jnp.where(row0, bnd_up, pltpu.roll(sw1, 1, 0))
+        bgvs = jnp.where(row0, low, pltpu.roll(bgv, 1, 0))
+        gsvs = jnp.where(row0, zero, pltpu.roll(gsv, 1, 0))
+        prev_gap_v = sw1s + W_OPEN
+        bgv_ext = bgvs + W_EXTEND
+        take_v = prev_gap_v > bgv_ext
+        bgv_n = jnp.where(take_v, prev_gap_v, bgv_ext)
+        gsv_n = jnp.where(take_v, 1, gsvs + 1)
+
+        left = jnp.where(jd0, colbnd, sw1)  # matrix sw[i+1][j]
+        prev_gap_h = left + W_OPEN
+        bgh_ext = bgh_buf[:] + W_EXTEND
+        take_h = prev_gap_h > bgh_ext
+        bgh_n = jnp.where(take_h, prev_gap_h, bgh_ext)
+        gsh_n = jnp.where(take_h, 1, gsh_buf[:] + 1)
+        valid = jnp.logical_and(ii <= d, d - ii < cols)
+        bgh_n = jnp.where(valid, bgh_n, bgh_buf[:])
+        gsh_n = jnp.where(valid, gsh_n, gsh_buf[:])
+        bgh_buf[:] = bgh_n
+        gsh_buf[:] = gsh_n
+
+        step_down = bgv_n
+        step_right = bgh_n
+        use_diag = jnp.logical_and(step_diag >= step_down, step_diag >= step_right)
+        use_right = jnp.logical_and(jnp.logical_not(use_diag), step_right >= step_down)
+        val = jnp.where(use_diag, step_diag, jnp.where(use_right, step_right, step_down))
+        sw_new = jnp.maximum(MATRIX_MIN_CUTOFF, val)
+        btr = jnp.where(use_diag, 0, jnp.where(use_right, -gsh_n, gsv_n))
+
+        sw_buf[cur] = sw_new
+        bgv_buf[cur] = bgv_n
+        gsv_buf[cur] = gsv_n
+
+        # stage btrack (int16) at a static group offset
+        btr_stage[off] = btr.astype(jnp.int16)
+
+        lastrow_out[pl.ds(d, 1), :] = jnp.sum(
+            jnp.where(ii == last_sel, sw_new, zero), axis=0, keepdims=True
+        )
+        altcol_out[pl.ds(d, 1), :] = jnp.sum(
+            jnp.where((d - ii) == altc_sel, sw_new, zero), axis=0, keepdims=True
+        )
+
+    def group(g, _):
+        d0 = g * DMA_GROUP
+
+        # the previous group's DMA must have drained before restaging
+        @pl.when(g > 0)
+        def _():
+            pltpu.make_async_copy(
+                btr_stage,
+                btr_out.at[blk, pl.ds(d0 - DMA_GROUP, DMA_GROUP)],
+                dma_sems.at[0],
+            ).wait()
+
+        for off in range(DMA_GROUP):  # static unroll: static slots/offsets
+            step(d0 + off, off % 2, (off + 1) % 2, off)
+
+        pltpu.make_async_copy(
+            btr_stage, btr_out.at[blk, pl.ds(d0, DMA_GROUP)], dma_sems.at[0]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_diag // DMA_GROUP, group, 0)
+    pltpu.make_async_copy(
+        btr_stage,
+        btr_out.at[blk, pl.ds(n_diag - DMA_GROUP, DMA_GROUP)],
+        dma_sems.at[0],
+    ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("strategy", "interpret"))
+def sw_fill_pallas(ref_tm, alt_ext, reflen, altlen, strategy: int, interpret=False):
+    """Diag-major fill.  ref_tm: (R, B); alt_ext: (D, B) int32 with
+    D = R + C (alt chars then 255 padding).  Returns
+    (btr (B//128, D, R, 128) int16 diag-major per lane block,
+    lastrow_diag (D, B), altcol_diag (D, B)).
+    """
+    rows, bsz = ref_tm.shape
+    n_diag = alt_ext.shape[0]
+    if bsz % LANES:
+        raise ValueError(f"batch {bsz} must be a multiple of {LANES}")
+    indel_init = strategy in (OVERHANG_INDEL, OVERHANG_LEADING_INDEL)
+
+    grid = (bsz // LANES,)
+    row_spec = pl.BlockSpec((rows, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    diag_spec = pl.BlockSpec((n_diag, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    # ANY-space outputs must be whole-array; the kernel DMAs into its own
+    # lane slice using program_id
+    btr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    kernel = functools.partial(_sw_diag_kernel, indel_init=indel_init)
+    btr, lastrow, altcol = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, diag_spec, one_spec, one_spec],
+        out_specs=(btr_spec, diag_spec, diag_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz // LANES, n_diag, rows, LANES), jnp.int16),
+            jax.ShapeDtypeStruct((n_diag, bsz), I32),
+            jax.ShapeDtypeStruct((n_diag, bsz), I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, LANES), I32),  # sw diagonals
+            pltpu.VMEM((2, rows, LANES), I32),  # bgv
+            pltpu.VMEM((2, rows, LANES), I32),  # gsv
+            pltpu.VMEM((rows, LANES), I32),  # bgh
+            pltpu.VMEM((rows, LANES), I32),  # gsh
+            pltpu.VMEM((rows, LANES), I32),  # alt diag register
+            pltpu.VMEM((DMA_GROUP, rows, LANES), jnp.int16),  # btrack stage
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(
+        ref_tm.astype(I32), alt_ext.astype(I32),
+        reflen.reshape(1, -1).astype(I32), altlen.reshape(1, -1).astype(I32),
+    )
+    return btr, lastrow, altcol
+
+
+def sw_align_batch_pallas(
+    refs, alts, strategy: int, rows: int, cols: int, interpret: bool = False
+) -> List[Tuple[list, int]]:
+    """Batched alignment via the Pallas fill; backtrack on host.
+
+    Equivalent to ops.sw.jax_impl.sw_align_batch (exact results).
+    """
+    from acc_genomics_tpu.ops.sw.jax_impl import sw_backtrack_slim
+
+    n_real = len(refs)
+    bsz = ((n_real + LANES - 1) // LANES) * LANES
+    n_diag = rows + cols
+    grp = 2 * DMA_GROUP
+    n_diag = ((n_diag + grp - 1) // grp) * grp
+    ref_tm = np.full((rows, bsz), 255, np.int32)
+    alt_ext = np.full((n_diag, bsz), 255, np.int32)
+    reflen = np.ones(bsz, np.int32)
+    altlen = np.ones(bsz, np.int32)
+    for k, (r, a) in enumerate(zip(refs, alts)):
+        if len(r) > rows or len(a) > cols:
+            raise ValueError("sequence exceeds bucket")
+        ref_tm[: len(r), k] = r
+        alt_ext[: len(a), k] = a
+        reflen[k] = len(r)
+        altlen[k] = len(a)
+    btr, lastrow_diag, altcol_diag = sw_fill_pallas(
+        jnp.asarray(ref_tm), jnp.asarray(alt_ext),
+        jnp.asarray(reflen), jnp.asarray(altlen), strategy, interpret=interpret,
+    )
+    btr = np.asarray(btr)
+    lastrow_diag = np.asarray(lastrow_diag)
+    altcol_diag = np.asarray(altcol_diag)
+
+    out = []
+    igrid = np.arange(rows)
+    for k in range(n_real):
+        rl, al = int(reflen[k]), int(altlen[k])
+        # rebuild row-major btrack rows 1..rl from the diag-major dump:
+        # btrack[i, j] = btr[blk, i + j, i, lane]
+        jgrid = np.arange(al)
+        bt_k = btr[k // LANES, (igrid[:rl, None] + jgrid[None, :]), igrid[:rl, None], k % LANES]
+        lastrow = np.zeros(al + 1, np.int64)
+        lastrow[1:] = lastrow_diag[(rl - 1) + jgrid, k]
+        altcol = np.zeros(rl, np.int64)
+        altcol[:] = altcol_diag[igrid[:rl] + (al - 1), k]
+        out.append(sw_backtrack_slim(bt_k, lastrow, altcol, rl, al, strategy))
+    return out
