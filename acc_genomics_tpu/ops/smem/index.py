@@ -120,6 +120,25 @@ class FMIndex:
         bwt_packed = words.reshape(nblk, 4)
         return cls(bwt, text, primary, L2, n, sa, occ_ckpt, bwt_packed)
 
+    # -- persistence (the reference's only durable state is the loaded
+    # index; kernels themselves are stateless request/response) ----------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, bwt=self.bwt, text=self.text,
+            primary=np.int64(self.primary), L2=self.L2,
+            seq_len=np.int64(self.seq_len), sa=self.sa,
+            occ_ckpt=self.occ_ckpt, bwt_packed=self.bwt_packed,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FMIndex":
+        with np.load(path, allow_pickle=False) as z:
+            return cls(
+                z["bwt"], z["text"], int(z["primary"]), z["L2"],
+                int(z["seq_len"]), z["sa"], z["occ_ckpt"], z["bwt_packed"],
+            )
+
     # -- counting --------------------------------------------------------
 
     def occ4(self, k: int) -> np.ndarray:

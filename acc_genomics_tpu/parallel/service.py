@@ -1,0 +1,247 @@
+"""Engine service: client/daemon offload over TCP.
+
+The TPU-native replacement for the reference's Blaze layer
+(pairhmm/client/* + pairhmm/task/*): an application process serialises
+batches to a daemon that owns the accelerator; the daemon keeps
+device-resident state (the FM-index scratch-cache analog) across
+requests; the client falls back to local CPU compute when no daemon is
+reachable (PairHMMClient::compute, pairhmm/client/PairHMMClient.cpp:69-85).
+
+Wire format: one frame per message —
+    u32 opcode | u64 payload length | payload
+payload = npz archive of named numpy arrays (allow_pickle=False both
+ways; no code crosses the wire).  In production multi-host TPU setups
+jax.distributed owns cross-host collectives; this service covers the
+reference's other topology — remote CPU clients feeding an accelerator
+daemon.
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import socketserver
+import struct
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+OP_PAIRHMM = 1
+OP_SMEM = 2
+OP_SW = 3
+OP_LOAD_REF = 4
+OP_SHUTDOWN = 99
+
+_HDR = struct.Struct("<IQ")
+
+
+def _pack(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _unpack(payload: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(payload), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _send(sock: socket.socket, op: int, arrays: Dict[str, np.ndarray]):
+    payload = _pack(arrays)
+    sock.sendall(_HDR.pack(op, len(payload)) + payload)
+
+
+def _recv(sock: socket.socket):
+    hdr = b""
+    while len(hdr) < _HDR.size:
+        chunk = sock.recv(_HDR.size - len(hdr))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        hdr += chunk
+    op, ln = _HDR.unpack(hdr)
+    payload = b""
+    while len(payload) < ln:
+        chunk = sock.recv(min(1 << 20, ln - len(payload)))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        payload += chunk
+    return op, _unpack(payload)
+
+
+def _encode_ragged(arrs: List[np.ndarray], dtype=np.uint8):
+    lens = np.array([len(a) for a in arrs], np.int64)
+    flat = (
+        np.concatenate([np.asarray(a, dtype) for a in arrs])
+        if arrs
+        else np.zeros(0, dtype)
+    )
+    return flat, lens
+
+
+def _decode_ragged(flat: np.ndarray, lens: np.ndarray) -> List[np.ndarray]:
+    out = []
+    off = 0
+    for ln in lens:
+        out.append(flat[off : off + int(ln)])
+        off += int(ln)
+    return out
+
+
+class EngineServer:
+    """Daemon owning one GenomicsEngine (and thus the accelerator)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, engine=None):
+        if engine is None:
+            from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+
+            engine = GenomicsEngine()
+        self.engine = engine
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                while True:
+                    try:
+                        op, req = _recv(self.request)
+                    except ConnectionError:
+                        return
+                    if op == OP_SHUTDOWN:
+                        _send(self.request, op, {})
+                        outer._server.shutdown()
+                        return
+                    try:
+                        resp = outer._dispatch(op, req)
+                        _send(self.request, op, resp)
+                    except Exception as e:  # report, keep serving
+                        _send(
+                            self.request, 0,
+                            {"error": np.frombuffer(str(e).encode(), np.uint8)},
+                        )
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.address = self._server.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    def _dispatch(self, op: int, req: Dict[str, np.ndarray]):
+        if op == OP_LOAD_REF:
+            self.engine.load_reference(req["genome"])
+            return {"ok": np.array([1])}
+        if op == OP_PAIRHMM:
+            reads = []
+            rl = req["read_lens"]
+            flats = {k: _decode_ragged(req[k], rl) for k in ("rs", "q", "i", "d", "c")}
+            for j in range(len(rl)):
+                reads.append({k: flats[k][j] for k in flats})
+            haps = _decode_ragged(req["haps"], req["hap_lens"])
+            lik = self.engine.pairhmm_matrix(reads, haps)
+            return {"lik": lik}
+        if op == OP_SMEM:
+            reads = _decode_ragged(req["reads"], req["read_lens"])
+            ivs = self.engine.smem_collect(reads)
+            counts = np.array([len(v) for v in ivs], np.int64)
+            flat = np.array(
+                [
+                    [iv["x0"], iv["x1"], iv["s"], iv["start"], iv["end"]]
+                    for v in ivs
+                    for iv in v
+                ],
+                np.int64,
+            ).reshape(-1, 5)
+            return {"counts": counts, "intervals": flat}
+        raise ValueError(f"unknown op {op}")
+
+    def start(self):
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+
+class EngineClient:
+    """Connects to a daemon; computes locally on CPU when unreachable."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, timeout: float = 5.0):
+        self._sock: Optional[socket.socket] = None
+        self.used_fallback = False
+        try:
+            self._sock = socket.create_connection((host, port), timeout=timeout)
+            # requests may trigger jit compiles on the daemon; don't let the
+            # connect timeout bound the compute
+            self._sock.settimeout(None)
+        except OSError:
+            self._sock = None
+
+    @property
+    def connected(self) -> bool:
+        return self._sock is not None
+
+    def _local_engine(self):
+        from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+
+        if not hasattr(self, "_local"):
+            self._local = GenomicsEngine()
+        return self._local
+
+    def pairhmm(self, reads, haps) -> np.ndarray:
+        if self._sock is None:
+            self.used_fallback = True
+            return self._local_engine().pairhmm_matrix(reads, haps)
+        req = {}
+        for k in ("rs", "q", "i", "d", "c"):
+            req[k], req["read_lens"] = _encode_ragged([r[k] for r in reads])
+        req["haps"], req["hap_lens"] = _encode_ragged(list(haps))
+        _send(self._sock, OP_PAIRHMM, req)
+        op, resp = _recv(self._sock)
+        if "error" in resp:
+            raise RuntimeError(resp["error"].tobytes().decode())
+        return resp["lik"]
+
+    def load_reference(self, genome: np.ndarray):
+        if self._sock is None:
+            self.used_fallback = True
+            self._local_engine().load_reference(genome)
+            return
+        _send(self._sock, OP_LOAD_REF, {"genome": np.asarray(genome, np.uint8)})
+        _recv(self._sock)
+
+    def smem(self, reads) -> List[List[dict]]:
+        if self._sock is None:
+            self.used_fallback = True
+            return self._local_engine().smem_collect(list(reads))
+        flat, lens = _encode_ragged(list(reads))
+        _send(self._sock, OP_SMEM, {"reads": flat, "read_lens": lens})
+        op, resp = _recv(self._sock)
+        if "error" in resp:
+            raise RuntimeError(resp["error"].tobytes().decode())
+        out = []
+        off = 0
+        for n in resp["counts"]:
+            rows = resp["intervals"][off : off + int(n)]
+            out.append(
+                [
+                    dict(x0=int(r[0]), x1=int(r[1]), s=int(r[2]),
+                         start=int(r[3]), end=int(r[4]))
+                    for r in rows
+                ]
+            )
+            off += int(n)
+        return out
+
+    def shutdown_server(self):
+        if self._sock is not None:
+            _send(self._sock, OP_SHUTDOWN, {})
+            self._sock.close()
+            self._sock = None
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None

@@ -124,3 +124,16 @@ def test_full_pipeline_counts(fixture):
             assert m["s"] <= cnt  # pass-2/3 seeds may carry sub-intervals
             assert cnt > 0
             assert m["end"] - m["start"] >= MIN_SEED_LEN
+
+
+def test_index_save_load(tmp_path, fixture):
+    fm, text, _ = fixture
+    p = str(tmp_path / "idx.npz")
+    fm.save(p)
+    from acc_genomics_tpu.ops.smem.index import FMIndex
+
+    fm2 = FMIndex.load(p)
+    assert fm2.primary == fm.primary
+    np.testing.assert_array_equal(fm2.bwt, fm.bwt)
+    np.testing.assert_array_equal(fm2.occ_ckpt, fm.occ_ckpt)
+    np.testing.assert_array_equal(fm2.occ4(100), fm.occ4(100))
