@@ -31,7 +31,10 @@ OP_PAIRHMM = 1
 OP_SMEM = 2
 OP_SW = 3
 OP_LOAD_REF = 4
+OP_EXTEND = 5
 OP_SHUTDOWN = 99
+
+_EXTEND_FIELDS = ("qBeg", "qEnd", "rBeg", "rEnd", "score", "trueScore", "width")
 
 _HDR = struct.Struct("<IQ")
 
@@ -153,6 +156,31 @@ class EngineServer:
                 np.int64,
             ).reshape(-1, 5)
             return {"counts": counts, "intervals": flat}
+        if op == OP_SW:
+            refs = _decode_ragged(req["refs"], req["ref_lens"])
+            alts = _decode_ragged(req["alts"], req["alt_lens"])
+            strategy = int(req["strategy"][0])
+            aligned = self.engine.sw.align(refs, alts, strategy)
+            counts = np.array([len(cig) for cig, _ in aligned], np.int64)
+            elems = np.array(
+                [[ln, st] for cig, _ in aligned for ln, st in cig], np.int64
+            ).reshape(-1, 2)
+            offsets = np.array([off for _, off in aligned], np.int64)
+            return {"counts": counts, "elems": elems, "offsets": offsets}
+        if op == OP_EXTEND:
+            reads = _decode_ragged(req["reads"], req["read_lens"])
+            rseqs = _decode_ragged(req["rseqs"], req["rseq_lens"])
+            seeds = [
+                dict(read=r, rseq=t, qbeg=int(qb), rbeg_off=int(ro), len=int(sl))
+                for r, t, qb, ro, sl in zip(
+                    reads, rseqs, req["qbeg"], req["rbeg_off"], req["seed_len"]
+                )
+            ]
+            res = self.engine.extend_seeds(seeds)
+            return {
+                k: np.array([int(r[k]) for r in res], np.int64)
+                for k in _EXTEND_FIELDS
+            }
         raise ValueError(f"unknown op {op}")
 
     def start(self):
@@ -234,6 +262,49 @@ class EngineClient:
             )
             off += int(n)
         return out
+
+    def sw(self, refs, alts, strategy: int = 0):
+        """Batch SW alignment -> [(cigar, offset)] (FalconSW over the wire)."""
+        if self._sock is None:
+            self.used_fallback = True
+            return self._local_engine().sw.align(list(refs), list(alts), strategy)
+        req = {}
+        req["refs"], req["ref_lens"] = _encode_ragged(list(refs))
+        req["alts"], req["alt_lens"] = _encode_ragged(list(alts))
+        req["strategy"] = np.array([strategy], np.int64)
+        _send(self._sock, OP_SW, req)
+        op, resp = _recv(self._sock)
+        if "error" in resp:
+            raise RuntimeError(resp["error"].tobytes().decode())
+        out = []
+        off = 0
+        for j, n in enumerate(resp["counts"]):
+            rows = resp["elems"][off : off + int(n)]
+            out.append(
+                ([(int(r[0]), int(r[1])) for r in rows], int(resp["offsets"][j]))
+            )
+            off += int(n)
+        return out
+
+    def extend(self, seeds):
+        """Batch seed extension -> resolved alignment records."""
+        if self._sock is None:
+            self.used_fallback = True
+            return self._local_engine().extend_seeds(list(seeds))
+        req = {}
+        req["reads"], req["read_lens"] = _encode_ragged([s["read"] for s in seeds])
+        req["rseqs"], req["rseq_lens"] = _encode_ragged([s["rseq"] for s in seeds])
+        req["qbeg"] = np.array([s["qbeg"] for s in seeds], np.int64)
+        req["rbeg_off"] = np.array([s["rbeg_off"] for s in seeds], np.int64)
+        req["seed_len"] = np.array([s["len"] for s in seeds], np.int64)
+        _send(self._sock, OP_EXTEND, req)
+        op, resp = _recv(self._sock)
+        if "error" in resp:
+            raise RuntimeError(resp["error"].tobytes().decode())
+        n = len(seeds)
+        return [
+            {k: int(resp[k][j]) for k in _EXTEND_FIELDS} for j in range(n)
+        ]
 
     def shutdown_server(self):
         if self._sock is not None:

@@ -43,6 +43,46 @@ def test_loopback_pairhmm_and_smem(rng):
     server.stop()
 
 
+def test_loopback_sw_and_extend(rng):
+    from acc_genomics_tpu.io.synth import gen_sw_batch
+    from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+    from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
+
+    server = EngineServer().start()
+    host, port = server.address
+    client = EngineClient(host, port)
+    assert client.connected
+
+    # SW over the wire: exact CIGAR + offset vs oracle
+    ref, alts = gen_sw_batch(rng, 4, ref_len=60)
+    got = client.sw([ref] * len(alts), alts, strategy=0)
+    for alt, (cig, off) in zip(alts, got):
+        want_cig, want_off = sw_align_oracle(ref, alt, 0)
+        assert [tuple(e) for e in want_cig] == cig and want_off == off
+
+    # seed extension over the wire: exact record vs oracle
+    genome = gen_reference_with_repeats(rng, 800)
+    seeds = []
+    for _ in range(5):
+        pos = int(rng.integers(60, 600))
+        read = genome[pos : pos + 80].copy()
+        mut = rng.random(80) < 0.05
+        read[mut] = (read[mut] + 1) % 4
+        read[30:50] = genome[pos + 30 : pos + 50]  # clean seed region
+        lo = pos - 40
+        seeds.append(
+            dict(read=read, rseq=genome[lo : pos + 120], qbeg=30,
+                 rbeg_off=pos + 30 - lo, len=20)
+        )
+    res = client.extend(seeds)
+    for s, r in zip(seeds, res):
+        want = extend_seed_oracle(s["read"], s["rseq"], s["qbeg"], s["rbeg_off"], s["len"])
+        assert r == {k: want[k] for k in r}
+
+    client.shutdown_server()
+    server.stop()
+
+
 def test_client_fallback_without_server(rng):
     # no daemon on this port: client computes locally (CPU fallback path)
     client = EngineClient("127.0.0.1", 1)  # port 1: nothing listens
