@@ -27,7 +27,10 @@ from acc_genomics_tpu.config import PairHMMConfig
 from acc_genomics_tpu.engine.bucketing import plan_buckets
 from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
 from acc_genomics_tpu.ops.pairhmm.jax_impl import pairhmm_forward
-from acc_genomics_tpu.ops.pairhmm.kernel import pairhmm_forward_pallas
+from acc_genomics_tpu.ops.pairhmm.kernel import (
+    block_diag_counts,
+    pairhmm_forward_pallas,
+)
 from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
 from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_oracle
 from acc_genomics_tpu.utils.timer import Timer
@@ -54,16 +57,24 @@ class PairHMMEngine:
 
     # -- core ------------------------------------------------------------
 
-    def _forward_fn(self):
-        return pairhmm_forward_pallas if self.use_pallas else pairhmm_forward
-
     def _run_bucket(self, tcs: Sequence[dict], rows: int, cols: int) -> np.ndarray:
-        pack = pack_pairhmm_batch(tcs, rows=rows, cols=cols, dtype=np.float32)
+        # sorted packing keeps per-128-lane-block diagonal bounds tight on
+        # the Pallas path (the reference's sortReads, FalconPairHMM.cpp:268)
+        pack = pack_pairhmm_batch(
+            tcs, rows=rows, cols=cols, dtype=np.float32,
+            sort_by_haplen=self.use_pallas,
+        )
         self.stats["cells"] += pack.cells
         self.stats["device_calls"] += 1
         args = [jax.device_put(v, self.device) for v in pack.arrays()]
-        res = self._forward_fn()(*args)
-        return np.asarray(res)[: pack.n_real]
+        if self.use_pallas:
+            bd = jax.device_put(
+                np.asarray(block_diag_counts(pack)), self.device
+            )
+            res = pairhmm_forward_pallas(*args, block_diags=bd)
+        else:
+            res = pairhmm_forward(*args)
+        return pack.unsort(np.asarray(res))
 
     def compute_pairs(self, testcases: Sequence[dict]) -> np.ndarray:
         """log10-likelihood for each testcase dict (rs,q,i,d,c,hap).

@@ -8,7 +8,7 @@ PEs walk one DP matrix each in diagonal order with triple-buffered rows):
   grid step (the "PU" axis of the reference becomes the lane axis),
 * sublane index = read row i            -> the wavefront lives in VMEM
   as (R, 128) arrays, rotated one row per diagonal,
-* the M/X/Y recurrences become ~30 fused VPU ops per diagonal; state is
+* the M/X/Y recurrences become ~25 fused VPU ops per diagonal; state is
   double-buffered in VMEM scratch (the TPU analog of the reference's
   buff[pe][3][len] rotating diagonal buffers), indexed with *static*
   slots by unrolling two diagonals per loop iteration.  (Large rotating
@@ -20,9 +20,28 @@ Cell (i, j) (0-based read x hap) is updated at diagonal d = i + j:
     X[d](i) = pMX(i) * M[d-1](i-1) + pXX(i) * X[d-1](i-1)
     Y[d](i) = pMY(i) * M[d-1](i)   + pYY(i) * Y[d-1](i)
 with row-0 boundary (0, 0, IC/haplen) injected by the shift and the
-column-0 boundary masked at i == d.  The hap character for column j
-rides a shift register hd(i) = hap[d - i] fed from an extended hap
-array (HAP_PAD beyond haplen).
+column-0 boundary masked at i == d.
+
+Hot-loop economies (each measured on a v5e chip):
+
+* **cached shifted state**: the up-shifted M/X/(X+Y) needed by later
+  diagonals are computed once at write time (ms/xs/ss buffers), instead
+  of re-rolling each consumer — one sublane roll fewer per diagonal,
+  and X needs no unshifted buffer at all.
+* **bitmask base matching**: hap chars ride the shift register as
+  one-hot masks (1<<c; 15 for N, 16 for padding), read bases become
+  masks once in the prologue — match is a single AND+compare instead of
+  two compares + two ORs (the reference precomputes per-column bitmasks
+  the same way, avx-pairhmm-template.h:3-35).
+* **single-vreg accumulation**: only the last 8 sublanes of X can hold
+  the absorbing-row collector, so the running result sum touches one
+  vreg, not the full column.
+* **per-block diagonal bounds** (scalar prefetch): lanes are packed
+  sorted by haplotype length, and each 128-lane block runs only
+  rows + max(haplen in block) diagonals — the fori_loop trip count is a
+  prefetched scalar, so short pairs never pay the bucket-max diagonal
+  count (the TPU analog of the reference's trip-count load balancing,
+  PairHMMFpgaInterface.cpp:106-170).
 
 Variable lengths use the absorbing-row layout of pack.py: the final row
 R-1 is an absorbing collector for every pair, so the result is simply
@@ -43,15 +62,16 @@ from acc_genomics_tpu.ops.pairhmm.pack import PackedPairHMMBatch
 from acc_genomics_tpu.utils.convert import BASE_N, HAP_PAD
 
 LANES = 128
+PAD_MASK = 16  # one-hot channel for padded hap columns (never matches)
 
 
 def _pairhmm_diag_kernel(
+    nd_ref,  # scalar prefetch: per-block diagonal count (even)
     p_mm_ref, p_gapm_ref, p_mx_ref, p_xx_ref, p_my_ref, p_yy_ref,
     em_m_ref, em_x_ref, rs_ref, hap_ext_ref, y0_ref, out_ref,
-    m_buf, x_buf, y_buf, hd_buf, acc_buf,
+    m_buf, y_buf, ms_buf, xs_buf, ss_buf, hd_buf, acc_buf,
 ):
     rows = p_mm_ref.shape[0]
-    n_diag = hap_ext_ref.shape[0]
     dtype = p_mm_ref.dtype
 
     p_mm = p_mm_ref[:]
@@ -62,36 +82,38 @@ def _pairhmm_diag_kernel(
     p_yy = p_yy_ref[:]
     em_m = em_m_ref[:]
     em_x = em_x_ref[:]
-    rs = rs_ref[:]
 
     shape = p_mm.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     row0 = ii == 0
     not_row0 = jnp.logical_not(row0)
-    rs_is_n = rs == BASE_N
-    last_mask = (ii == rows - 1).astype(dtype)
+    rs = rs_ref[:]
+    # read bases as one-hot masks; N matches everything
+    rs_mask = jnp.where(rs == BASE_N, 15, jnp.int32(1) << rs)
     zero = jnp.zeros(shape, dtype)
     y0b = jnp.broadcast_to(y0_ref[:], shape)
 
     m_buf[0] = zero
     m_buf[1] = zero
-    x_buf[0] = zero
-    x_buf[1] = zero
     y_buf[0] = zero
     y_buf[1] = zero
-    hd_buf[:] = jnp.zeros(shape, jnp.int32)
-    acc_buf[:] = zero
+    ms_buf[0] = zero
+    ms_buf[1] = zero
+    xs_buf[0] = zero
+    xs_buf[1] = zero
+    # ss row 0 carries the Y boundary (row -1 virtual Y = IC/haplen)
+    ss0 = jnp.where(row0, y0b, zero)
+    ss_buf[0] = ss0
+    ss_buf[1] = ss0
+    hd_buf[:] = jnp.full(shape, PAD_MASK, jnp.int32)
+    acc_buf[:] = jnp.zeros(acc_buf.shape, dtype)
+
+    last8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 7
+    last8 = last8.astype(dtype)
 
     def step(d, cur, prv):
         # slot `prv` holds diagonal d-1; slot `cur` holds d-2 (overwritten)
-        m1 = m_buf[prv]
-        m2 = m_buf[cur]
-        x1 = x_buf[prv]
-        x2 = x_buf[cur]
-        y1 = y_buf[prv]
-        y2 = y_buf[cur]
-
-        # haplotype diagonal register: hd[i] <- hap[d - i]
+        # hap mask diagonal register: hd[i] <- hapmask[d - i]
         hap_d = hap_ext_ref[pl.ds(d, 1), :]  # (1, B)
         hd = jnp.where(row0, jnp.broadcast_to(hap_d, shape), pltpu.roll(hd_buf[:], 1, 0))
         hd_buf[:] = hd
@@ -99,24 +121,21 @@ def _pairhmm_diag_kernel(
         jd0 = ii == d  # cells in column j == 0 this diagonal
         colb = jnp.logical_and(jd0, not_row0)
 
-        match = (hd == rs) | rs_is_n | (hd == BASE_N)
-        distm = jnp.where(hd >= HAP_PAD, zero, jnp.where(match, em_m, em_x))
+        match = (hd & rs_mask) != 0
+        distm = jnp.where(hd >= PAD_MASK, zero, jnp.where(match, em_m, em_x))
 
-        m2s = jnp.where(row0, zero, pltpu.roll(m2, 1, 0))
-        s2s = jnp.where(row0, y0b, pltpu.roll(x2 + y2, 1, 0))
-        m_new = distm * (p_mm * m2s + p_gapm * s2s)
+        m_new = distm * (p_mm * ms_buf[cur] + p_gapm * ss_buf[cur])
         m_new = jnp.where(colb, zero, m_new)
-
-        m1s = jnp.where(row0, zero, pltpu.roll(m1, 1, 0))
-        x1s = jnp.where(row0, zero, pltpu.roll(x1, 1, 0))
-        x_new = p_mx * m1s + p_xx * x1s
-
-        y_new = jnp.where(jd0, zero, p_my * m1 + p_yy * y1)
+        x_new = p_mx * ms_buf[prv] + p_xx * xs_buf[prv]
+        y_new = jnp.where(jd0, zero, p_my * m_buf[prv] + p_yy * y_buf[prv])
 
         m_buf[cur] = m_new
-        x_buf[cur] = x_new
         y_buf[cur] = y_new
-        acc_buf[:] += x_new * last_mask
+        ms_buf[cur] = jnp.where(row0, zero, pltpu.roll(m_new, 1, 0))
+        xs_buf[cur] = jnp.where(row0, zero, pltpu.roll(x_new, 1, 0))
+        ss_buf[cur] = jnp.where(row0, y0b, pltpu.roll(x_new + y_new, 1, 0))
+        # only the final sublane can hold the absorbing collector
+        acc_buf[:] += jax.lax.slice(x_new, (rows - 8, 0), (rows, LANES)) * last8
 
     def body(d2, _):
         d = d2 * 2
@@ -124,7 +143,8 @@ def _pairhmm_diag_kernel(
         step(d + 1, 1, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_diag // 2, body, 0)
+    nd = nd_ref[pl.program_id(0)]
+    jax.lax.fori_loop(0, nd // 2, body, 0, unroll=False)
     out_ref[:] = jnp.sum(acc_buf[:], axis=0, keepdims=True)
 
 
@@ -132,6 +152,7 @@ def _pairhmm_diag_kernel(
 def pairhmm_forward_pallas(
     p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
     em_match, em_mis, rs, hap_ext, y0,
+    block_diags=None,
     interpret: bool = False,
 ):
     """Batched PairHMM forward via the Pallas diagonal kernel.
@@ -140,48 +161,84 @@ def pairhmm_forward_pallas(
     (R, B) / (R + H, B) with B a multiple of 128 — exactly the host
     layout, so nothing is transposed on device.  Returns (B,) forward
     probabilities.
+
+    block_diags: optional (B // 128,) int32 of per-block diagonal
+    counts (>= rows + max haplen in block, even).  Pack with
+    sort_by_haplen=True to make the blocks tight.  None runs every
+    block the full rows + cols diagonals.
     """
     rows, bsz = p_mm.shape
-    n_diag = hap_ext.shape[0]
+    n_diag_max = hap_ext.shape[0]
     if bsz % LANES:
         raise ValueError(f"batch {bsz} must be a multiple of {LANES}")
+    if rows % 8:
+        raise ValueError(f"rows {rows} must be a multiple of 8")
     dtype = p_mm.dtype
+    nblk = bsz // LANES
+
+    if block_diags is None:
+        block_diags = jnp.full((nblk,), (n_diag_max + 1) // 2 * 2, jnp.int32)
+
+    # hap chars -> one-hot masks once, outside the kernel (fused by XLA)
+    hap_mask = jnp.where(
+        hap_ext >= HAP_PAD,
+        PAD_MASK,
+        jnp.where(hap_ext == BASE_N, 15, jnp.int32(1) << hap_ext),
+    ).astype(jnp.int32)
 
     coef = [p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_match, em_mis]
-    rs_tm = rs
     y0_row = y0.reshape(1, bsz).astype(dtype)
 
-    grid = (bsz // LANES,)
-    row_spec = pl.BlockSpec((rows, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
-    diag_spec = pl.BlockSpec((n_diag, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
-    one_spec = pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((rows, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM)
+    diag_spec = pl.BlockSpec(
+        (n_diag_max, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM
+    )
+    one_spec = pl.BlockSpec((1, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         _pairhmm_diag_kernel,
-        grid=grid,
-        in_specs=[row_spec] * 8 + [row_spec, diag_spec, one_spec],
-        out_specs=one_spec,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[row_spec] * 8 + [row_spec, diag_spec, one_spec],
+            out_specs=one_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, LANES), dtype),  # M diagonals d-1, d-2
+                pltpu.VMEM((2, rows, LANES), dtype),  # Y
+                pltpu.VMEM((2, rows, LANES), dtype),  # M shifted
+                pltpu.VMEM((2, rows, LANES), dtype),  # X shifted
+                pltpu.VMEM((2, rows, LANES), dtype),  # (X+Y) shifted
+                pltpu.VMEM((rows, LANES), jnp.int32),  # hap mask shift register
+                pltpu.VMEM((8, LANES), dtype),  # result accumulator vreg
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((1, bsz), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows, LANES), dtype),  # M diagonals d-1, d-2
-            pltpu.VMEM((2, rows, LANES), dtype),  # X
-            pltpu.VMEM((2, rows, LANES), dtype),  # Y
-            pltpu.VMEM((rows, LANES), jnp.int32),  # hap shift register
-            pltpu.VMEM((rows, LANES), dtype),  # result accumulator
-        ],
         cost_estimate=pl.CostEstimate(
-            flops=15 * n_diag * rows * bsz,
-            bytes_accessed=(9 * rows + n_diag) * bsz * 4,
+            flops=13 * n_diag_max * rows * bsz,
+            bytes_accessed=(9 * rows + n_diag_max) * bsz * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*coef, rs_tm, hap_ext, y0_row)
+    )(jnp.asarray(block_diags, jnp.int32), *coef, rs, hap_mask, y0_row)
     return out[0]
+
+
+def block_diag_counts(pack: PackedPairHMMBatch) -> np.ndarray:
+    """Per-128-lane-block diagonal trip counts from packed haplens."""
+    rows = pack.rows
+    hl = pack.haplen.reshape(-1, LANES)
+    nd = rows + hl.max(axis=1)
+    return ((nd + 1) // 2 * 2).astype(np.int32)
 
 
 def forward_from_pack_pallas(pack: PackedPairHMMBatch, interpret: bool = False):
     if pack.p_mm.dtype == np.float64:
         raise ValueError("the Pallas kernel is fp32; fp64 runs on host")
+    bd = (
+        jnp.asarray(block_diag_counts(pack)) if pack.batch % LANES == 0 else None
+    )
     return pairhmm_forward_pallas(
-        *[jnp.asarray(v) for v in pack.arrays()], interpret=interpret
+        *[jnp.asarray(v) for v in pack.arrays()],
+        block_diags=bd,
+        interpret=interpret,
     )

@@ -54,7 +54,10 @@ class PackedPairHMMBatch:
     y0: np.ndarray  # (B,) initial Y row value = INITIAL_CONSTANT / haplen
     rslen: np.ndarray  # (B,) int32 (0 for batch-padding lanes)
     haplen: np.ndarray  # (B,) int32
-    n_real: int  # leading lanes that hold real pairs
+    n_real: int  # lanes that hold real pairs
+    # perm[k] = original testcase index packed into lane k (None if the
+    # batch is in input order); results unsort via result[inv_perm]
+    perm: np.ndarray = None
 
     @property
     def batch(self) -> int:
@@ -80,6 +83,15 @@ class PackedPairHMMBatch:
             self.y0,
         )
 
+    def unsort(self, results: np.ndarray) -> np.ndarray:
+        """Map per-lane results back to input testcase order."""
+        results = np.asarray(results)
+        if self.perm is None:
+            return results[: self.n_real]
+        out = np.empty(self.n_real, results.dtype)
+        out[self.perm] = results[: self.n_real]
+        return out
+
 
 def pack_pairhmm_batch(
     testcases: Sequence[dict],
@@ -87,11 +99,21 @@ def pack_pairhmm_batch(
     cols: int,
     dtype=np.float32,
     pad_lanes: bool = True,
+    sort_by_haplen: bool = False,
 ) -> PackedPairHMMBatch:
     """Pack testcase dicts (rs,q,i,d,c,hap arrays) into a dense batch.
 
     Requires max(rslen) < rows (>= 1 absorbing row) and max(haplen) <= cols.
+
+    sort_by_haplen groups pairs of similar haplotype length into the same
+    128-lane block so per-block dynamic diagonal counts stay tight (the
+    reference sorts reads by padded rows for the same reason,
+    FalconPairHMM.cpp:268-365); results unsort via pack.unsort().
     """
+    perm = None
+    if sort_by_haplen and testcases:
+        perm = np.argsort([-len(t["hap"]) for t in testcases], kind="stable")
+        testcases = [testcases[j] for j in perm]  # lane k holds input perm[k]
     dt = np.dtype(dtype).type
     ctx = PairHMMContext(dtype)
     n_real = len(testcases)
@@ -131,5 +153,5 @@ def pack_pairhmm_batch(
 
     return PackedPairHMMBatch(
         p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
-        em_match, em_mis, rs, hap_ext, y0, rslen, haplen, n_real,
+        em_match, em_mis, rs, hap_ext, y0, rslen, haplen, n_real, perm,
     )

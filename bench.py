@@ -6,24 +6,23 @@ Baseline: the reference's published PairHMM FPGA average throughput,
 counts only real (unpadded) read x hap cells, like the reference's
 GCUPS accounting from actual pair dimensions.
 
+The workload is dispatched the way the engine dispatches it: pairs are
+bucketed by read length (fewer sublane registers per op for short
+reads), packed sorted by haplotype length, and each 128-lane block runs
+only the diagonals its longest haplotype needs (scalar-prefetched
+per-block trip counts).
+
 Timing note: on the axon dev tunnel, block_until_ready() returns early
-and D2H readback carries a ~25ms HTTP round trip.  We therefore time a
-*device-chained* sequence of K kernel calls (each consuming the previous
-output so nothing can be elided) at two different K and take the slope,
-which cancels both the RTT and dispatch overhead.
+and D2H readback carries a ~25ms HTTP round trip.  We therefore time one
+jit program that chains K passes over all buckets (each pass consuming a
+value from the previous one so nothing can be elided) and divide; the
+RTT amortizes to noise.
 """
 
 import json
 import time
 
 import numpy as np
-
-
-def _chained_time(fn_chain, args, k):
-    t0 = time.time()
-    out = fn_chain(*args, k)
-    _ = np.asarray(out)
-    return time.time() - t0
 
 
 def main():
@@ -33,46 +32,70 @@ def main():
     from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
     from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
     from acc_genomics_tpu.ops.pairhmm.jax_impl import pairhmm_forward
-    from acc_genomics_tpu.ops.pairhmm.kernel import pairhmm_forward_pallas
+    from acc_genomics_tpu.ops.pairhmm.kernel import (
+        block_diag_counts,
+        pairhmm_forward_pallas,
+    )
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-    forward = pairhmm_forward_pallas if on_tpu else pairhmm_forward
 
     # production-like WES shapes: ~100-150bp reads vs ~300-400bp haps
     rng = np.random.default_rng(0)
     n_pairs = 8192 if on_tpu else 512
-    rows, cols = 152, 384
-    tcs = gen_pairhmm_pairs(rng, n_pairs, max_read_len=rows - 2, max_hap_len=cols)
-    pack = pack_pairhmm_batch(tcs, rows=rows, cols=cols, dtype=np.float32)
-    args = [jax.device_put(jnp.asarray(v), dev) for v in pack.arrays()]
+    rows_max, cols = 152, 384
+    row_buckets = (64, 96, 128, rows_max)
+    tcs = gen_pairhmm_pairs(rng, n_pairs, max_read_len=rows_max - 2, max_hap_len=cols)
 
-    def chain(*args_k):
-        *arrs, k = args_k
-        arrs = list(arrs)
+    groups = {b: [] for b in row_buckets}
+    for t in tcs:
+        for b in row_buckets:
+            if len(t["rs"]) < b:
+                groups[b].append(t)
+                break
 
-        def once(p_mm_in):
-            a = list(arrs)
-            a[0] = p_mm_in
-            return forward(*a)
+    packs = []
+    for rows, group in groups.items():
+        if not group:
+            continue
+        packs.append(
+            pack_pairhmm_batch(
+                group, rows=rows, cols=cols, dtype=np.float32, sort_by_haplen=True
+            )
+        )
+    bucket_args = [
+        (
+            [jax.device_put(jnp.asarray(v), dev) for v in p.arrays()],
+            jax.device_put(jnp.asarray(block_diag_counts(p)), dev),
+        )
+        for p in packs
+    ]
+    cells = sum(p.cells for p in packs)
 
-        out = once(arrs[0])
-        for _ in range(k - 1):
-            # feed a result-dependent zero into p_mm so each call depends on
-            # the previous one and must execute
-            bump = (out[:1].sum() * 0.0).astype(arrs[0].dtype)
-            out = once(arrs[0] + bump)
+    fwd = (
+        (lambda a, bd: pairhmm_forward_pallas(*a, block_diags=bd))
+        if on_tpu
+        else (lambda a, bd: pairhmm_forward(*a))
+    )
+
+    K = 16 if on_tpu else 2
+
+    @jax.jit
+    def chain():
+        bump = jnp.float32(0.0)
+        for _ in range(K):
+            for a, bd in bucket_args:
+                a = list(a)
+                a[0] = a[0] + bump
+                out = fwd(a, bd)
+                bump = out[:1].sum() * 0.0
         return out
 
-    # warm both K variants (two compiles)
-    k_lo, k_hi = 2, 6
-    _ = np.asarray(chain(*args, k_lo))
-    _ = np.asarray(chain(*args, k_hi))
-    t_lo = min(_chained_time(chain, args, k_lo) for _ in range(2))
-    t_hi = min(_chained_time(chain, args, k_hi) for _ in range(2))
-    per_call = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    np.asarray(chain())  # compile
+    t = min(_timed(chain) for _ in range(3))
+    per_pass = t / K
 
-    gcups = pack.cells / per_call / 1e9
+    gcups = cells / per_pass / 1e9
     baseline = 15.0  # reference PairHMM FPGA avg GCUPS
     print(
         json.dumps(
@@ -84,6 +107,12 @@ def main():
             }
         )
     )
+
+
+def _timed(fn):
+    t0 = time.time()
+    _ = np.asarray(fn())
+    return time.time() - t0
 
 
 if __name__ == "__main__":

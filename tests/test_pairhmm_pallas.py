@@ -60,3 +60,25 @@ def test_packer_lane_padding_inert(rng):
     res = np.asarray(forward_from_pack_pallas(pack, interpret=True))
     assert np.all(res[5:] == 0.0)
     assert np.all(res[:5] > 0.0)
+
+
+def test_pallas_sorted_pack_block_diags(rng):
+    """Sorted packing + per-block dynamic diagonal bounds == input order."""
+    tcs = gen_pairhmm_pairs(rng, 260, max_read_len=15, max_hap_len=30)
+    pack = pack_pairhmm_batch(
+        tcs, rows=16, cols=32, dtype=np.float32, sort_by_haplen=True
+    )
+    assert pack.perm is not None and pack.batch == 384
+    # blocks are tight: first block's bound >= last block's
+    from acc_genomics_tpu.ops.pairhmm.kernel import block_diag_counts
+
+    bd = block_diag_counts(pack)
+    assert bd.shape == (3,) and bd[0] >= bd[-1]
+    res = np.asarray(forward_from_pack_pallas(pack, interpret=True))
+    got = pack.unsort(res)
+    want_logs = _oracle_logs(tcs)
+    ctx = PairHMMContext(np.float32)
+    got_logs = np.log10(got.astype(np.float64)) - np.float64(
+        ctx.log10_initial_constant
+    )
+    assert np.max(np.abs((got_logs - want_logs) / want_logs)) < 5e-3
