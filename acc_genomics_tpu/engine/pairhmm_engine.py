@@ -57,7 +57,14 @@ class PairHMMEngine:
 
     # -- core ------------------------------------------------------------
 
-    def _run_bucket(self, tcs: Sequence[dict], rows: int, cols: int) -> np.ndarray:
+    def _launch_bucket(self, tcs: Sequence[dict], rows: int, cols: int):
+        """Pack + enqueue one bucket; returns (pack, device future).
+
+        Dispatch is async (JAX) so packing of the next bucket overlaps
+        device compute of this one — the TPU analog of the reference's
+        boost-threaded double-buffered host pipeline
+        (bwa-sw/intel/aocl/src/main_cl.cpp KernelWorker).
+        """
         # sorted packing keeps per-128-lane-block diagonal bounds tight on
         # the Pallas path (the reference's sortReads, FalconPairHMM.cpp:268)
         pack = pack_pairhmm_batch(
@@ -74,6 +81,10 @@ class PairHMMEngine:
             res = pairhmm_forward_pallas(*args, block_diags=bd)
         else:
             res = pairhmm_forward(*args)
+        return pack, res
+
+    def _run_bucket(self, tcs: Sequence[dict], rows: int, cols: int) -> np.ndarray:
+        pack, res = self._launch_bucket(tcs, rows, cols)
         return pack.unsort(np.asarray(res))
 
     def compute_pairs(self, testcases: Sequence[dict]) -> np.ndarray:
@@ -93,12 +104,19 @@ class PairHMMEngine:
         )
         raw = np.zeros(n, np.float32)
         with Timer("pairhmm.device"):
+            # launch every bucket before collecting any: packing bucket k+1
+            # overlaps device compute of bucket k (async dispatch)
+            pending = []
             for (rows, cols), idxs in plan.groups.items():
                 max_pairs = self.config.max_batch_pairs
                 for lo in range(0, len(idxs), max_pairs):
                     chunk = idxs[lo : lo + max_pairs]
-                    res = self._run_bucket([testcases[i] for i in chunk], rows, cols)
-                    raw[chunk] = res
+                    pack, res = self._launch_bucket(
+                        [testcases[i] for i in chunk], rows, cols
+                    )
+                    pending.append((chunk, pack, res))
+            for chunk, pack, res in pending:
+                raw[chunk] = pack.unsort(np.asarray(res))
 
         out = np.empty(n, np.float64)
         ok = raw >= np.float32(self.config.min_accepted)
