@@ -46,34 +46,40 @@ class ExtendEngine:
             bq = _round_up(max(len(queries[k]), 1), self.q_buckets)
             bt = _round_up(max(len(targets[k]), 1), self.t_buckets)
             groups.setdefault((bq, bt), []).append(k)
-        for (bq, bt), idxs in groups.items():
-            bsz = 8  # pad to a power of two: few cached jit shapes
-            while bsz < len(idxs):
-                bsz *= 2
-            q_tm = np.full((bq, bsz), 4, np.int32)
-            t_tm = np.full((bt, bsz), 4, np.int32)
-            qlen = np.zeros(bsz, np.int32)
-            tlen = np.zeros(bsz, np.int32)
-            h0 = np.zeros(bsz, np.int32)
-            for j, k in enumerate(idxs):
-                q, t = queries[k], targets[k]
-                q_tm[: len(q), j] = q
-                t_tm[: len(t), j] = t
-                qlen[j] = len(q)
-                tlen[j] = len(t)
-                h0[j] = h0s[k]
-            self.stats["device_calls"] += 1
-            with Timer("extend.device"):
+        # launch every group before fetching any result: device compute
+        # overlaps host packing, and all D2H transfers batch into one
+        # device_get (one round trip instead of one per (group, field))
+        pending = []
+        with Timer("extend.device"):
+            for (bq, bt), idxs in groups.items():
+                bsz = 8  # pad to a power of two: few cached jit shapes
+                while bsz < len(idxs):
+                    bsz *= 2
+                q_tm = np.full((bq, bsz), 4, np.int32)
+                t_tm = np.full((bt, bsz), 4, np.int32)
+                qlen = np.zeros(bsz, np.int32)
+                tlen = np.zeros(bsz, np.int32)
+                h0 = np.zeros(bsz, np.int32)
+                for j, k in enumerate(idxs):
+                    q, t = queries[k], targets[k]
+                    q_tm[: len(q), j] = q
+                    t_tm[: len(t), j] = t
+                    qlen[j] = len(q)
+                    tlen[j] = len(t)
+                    h0[j] = h0s[k]
+                self.stats["device_calls"] += 1
                 res = sw_extend_batch(
                     jax.device_put(jnp.asarray(q_tm), self.device),
                     jax.device_put(jnp.asarray(t_tm), self.device),
                     jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(h0),
                     jnp.asarray(qlen), jnp.asarray(qlen),
                 )
+                pending.append((idxs, res))
+            pending = jax.device_get(pending)
+        for idxs, res in pending:
+            ia = np.asarray(idxs, np.int64)
             for key in out:
-                vals = np.asarray(res[key])
-                for j, k in enumerate(idxs):
-                    out[key][k] = vals[j]
+                out[key][ia] = np.asarray(res[key])[: len(idxs)]
         return out
 
     def extend_seeds(self, seeds: Sequence[dict]) -> List[dict]:
@@ -96,35 +102,25 @@ class ExtendEngine:
         h0_right = lres["score"]
         rres = self._run(right_q, right_t, h0_right)
 
-        out = []
-        for k, s in enumerate(seeds):
-            sl, qb = s["len"], s["qbeg"]
-            reg = int(lres["score"][k])
-            # left resolution
-            if lres["gscore"][k] <= 0 or lres["gscore"][k] <= reg - PEN_CLIP:
-                q_beg = qb - int(lres["qle"][k])
-                r_beg = -int(lres["tle"][k])
-                true_score = reg
-            else:
-                q_beg = 0
-                r_beg = -int(lres["gtle"][k])
-                true_score = int(lres["gscore"][k])
-            # right resolution
-            sc0 = reg
-            reg = int(rres["score"][k])
-            if rres["gscore"][k] <= 0 or rres["gscore"][k] <= reg - PEN_CLIP:
-                q_end = int(rres["qle"][k])
-                r_end = int(rres["tle"][k])
-                true_score += reg - sc0
-            else:
-                q_end = len(right_q[k])
-                r_end = int(rres["gtle"][k])
-                true_score += int(rres["gscore"][k]) - sc0
-            out.append(
-                dict(
-                    qBeg=q_beg, qEnd=q_end, rBeg=r_beg, rEnd=r_end,
-                    score=reg, trueScore=true_score,
-                    width=max(int(lres["w"][k]), int(rres["w"][k])),
-                )
+        # vectorized gscore-vs-clip resolution (seed_proc semantics,
+        # bwa-sw/sdaccel/smithwaterman.cpp:636-659)
+        qb = np.array([s["qbeg"] for s in seeds], np.int64)
+        rq_len = np.array([len(q) for q in right_q], np.int64)
+        lsc, rsc = lres["score"], rres["score"]
+        l_clip = (lres["gscore"] <= 0) | (lres["gscore"] <= lsc - PEN_CLIP)
+        q_beg = np.where(l_clip, qb - lres["qle"], 0)
+        r_beg = np.where(l_clip, -lres["tle"], -lres["gtle"])
+        true_l = np.where(l_clip, lsc, lres["gscore"])
+        r_clip = (rres["gscore"] <= 0) | (rres["gscore"] <= rsc - PEN_CLIP)
+        q_end = np.where(r_clip, rres["qle"], rq_len)
+        r_end = np.where(r_clip, rres["tle"], rres["gtle"])
+        true_score = true_l + np.where(r_clip, rsc, rres["gscore"]) - lsc
+        width = np.maximum(lres["w"], rres["w"])
+        return [
+            dict(
+                qBeg=int(q_beg[k]), qEnd=int(q_end[k]), rBeg=int(r_beg[k]),
+                rEnd=int(r_end[k]), score=int(rsc[k]),
+                trueScore=int(true_score[k]), width=int(width[k]),
             )
-        return out
+            for k in range(n)
+        ]

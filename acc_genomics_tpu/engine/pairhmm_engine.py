@@ -115,7 +115,10 @@ class PairHMMEngine:
                         [testcases[i] for i in chunk], rows, cols
                     )
                     pending.append((chunk, pack, res))
-            for chunk, pack, res in pending:
+            # one batched D2H for every bucket (one round trip, not one per
+            # bucket)
+            fetched = jax.device_get([res for _, _, res in pending])
+            for (chunk, pack, _), res in zip(pending, fetched):
                 raw[chunk] = pack.unsort(np.asarray(res))
 
         out = np.empty(n, np.float64)

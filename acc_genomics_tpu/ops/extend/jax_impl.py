@@ -39,6 +39,19 @@ I32 = jnp.int32
 NEG = jnp.int32(-(1 << 29))
 
 
+def _cummax_log(u):
+    """Inclusive running max along axis 0 as a log-depth shift-max ladder
+    (the Kogge-Stone max_scan of htc-sw/host/FalconSW_AVX.cpp:38-300;
+    lax.cummax lowers to a slow sequential form on TPU)."""
+    n = u.shape[0]
+    sh = 1
+    while sh < n:
+        shifted = jnp.concatenate([jnp.full((sh,) + u.shape[1:], NEG, u.dtype), u[:-sh]], axis=0)
+        u = jnp.maximum(u, shifted)
+        sh <<= 1
+    return u
+
+
 @functools.partial(jax.jit, static_argnames=())
 def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
     """Banded extension for a batch of tasks.
@@ -94,8 +107,20 @@ def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
             h1_beg = jnp.where(at0, jnp.maximum(h1_init, 0), 0)
 
             in_band = (jj >= beg[None, :]) & (jj < end[None, :])
-            # per-cell score mat[t_i, q_j]
-            sc = mat[t_i[None, :], q_tm]
+            # per-cell score mat[t_i, q_j], computed arithmetically (a 2D
+            # table gather per row is pathologically slow on TPU): match
+            # +1, mismatch -4, either-ambiguous -1 (bwa_fill_scmat)
+            tb = t_i[None, :]
+            amb = (tb >= 4) | (q_tm >= 4)
+            sc = jnp.where(
+                amb,
+                jnp.asarray(int(MAT[0, 4]), I32),
+                jnp.where(
+                    tb == q_tm,
+                    jnp.asarray(int(MAT[0, 0]), I32),
+                    jnp.asarray(int(MAT[0, 1]), I32),
+                ),
+            )
             m_in = jnp.where(i == 0, row0_m, eh_h[:Q])
             e_in = jnp.where(i == 0, 0, eh_e[:Q])
             M = jnp.where(m_in != 0, m_in + sc, 0)
@@ -107,7 +132,7 @@ def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
             # undecayed; f(beg) = 0.  With run(x) = cummax(t_ins + k*E):
             # f(j) = run(j-1) - (j-1)*E, clamped at 0.
             u = jnp.where(in_band, t_ins + jj * E_INS, NEG)
-            run = jax.lax.cummax(u, axis=0)
+            run = _cummax_log(u)
             f = jnp.concatenate(
                 [jnp.full((1, bsz), NEG, I32), run[:-1]], axis=0
             ) - (jj - 1) * E_INS
@@ -121,11 +146,12 @@ def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
             hprev = jnp.concatenate([jnp.zeros((1, bsz), I32), h[:-1]], axis=0)
             hprev = jnp.where(jj == beg[None, :], h1_beg[None, :], hprev)
 
-            # h1 after the loop = H(i, end-1) (or h1_beg if band empty)
+            # h1 after the loop = H(i, end-1) (or h1_beg if band empty);
+            # masked reduce instead of a per-row gather
             band_nonempty = end > beg
-            h_end = jnp.take_along_axis(
-                h, jnp.maximum(end - 1, 0)[None, :], axis=0
-            )[0]
+            h_end = jnp.max(
+                jnp.where(jj == jnp.maximum(end - 1, 0)[None, :], h, NEG), axis=0
+            )
             h1_last = jnp.where(band_nonempty, h_end, h1_beg)
 
             # m / mj: running "m <= h" keeps the LAST argmax among visited j

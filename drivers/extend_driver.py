@@ -42,6 +42,7 @@ def main():
         span = genome[pos - 150 : pos + args.read_len + 150]
         seeds.append(dict(read=read, rseq=span, qbeg=qbeg, rbeg_off=150 + qbeg, len=slen))
 
+    engine.extend_seeds(seeds)  # warm the jit cache at the real batch shapes
     t0 = time.time()
     got = engine.extend_seeds(seeds)
     dt = time.time() - t0
