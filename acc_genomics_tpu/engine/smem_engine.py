@@ -5,6 +5,11 @@ of the reference writing the (replicated) BWT to every DRAM bank at init
 (smem/host/ocl.cpp:169-293) and of BWAOCLEnv's one-time pac preload.
 Reads whose interval count exceeds MAX_INTV_ALLOC are rerun on the host
 oracle, matching the reference's overflow contract (smem/main.cpp:158-164).
+
+The device path is the flat state machine of ops/smem/machine.py (one
+batched 32-byte FM-index probe per iteration for every lane); the
+literal while_loop translation in ops/smem/jax_impl.py is kept as a
+secondary implementation for differential testing.
 """
 
 from __future__ import annotations
@@ -16,7 +21,10 @@ import numpy as np
 
 from acc_genomics_tpu.config import SmemConfig
 from acc_genomics_tpu.ops.smem.index import FMIndex
-from acc_genomics_tpu.ops.smem.jax_impl import MAX_OUT, device_index, smem_batch
+from acc_genomics_tpu.ops.smem.machine import (
+    device_index_fused,
+    smem_batch_machine,
+)
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
 from acc_genomics_tpu.utils.timer import Timer
 
@@ -32,7 +40,7 @@ class SmemEngine:
         self.config = config
         self.device = device or jax.devices()[0]
         with Timer("smem.index_upload"):
-            idx = device_index(fm)
+            idx = device_index_fused(fm)
             self.idx = {
                 k: (jax.device_put(v, self.device) if hasattr(v, "shape") else v)
                 for k, v in idx.items()
@@ -49,7 +57,7 @@ class SmemEngine:
         host_idx = [k for k, r in enumerate(reads) if len(r) > seq_len]
         if dev_idx:
             with Timer("smem.device"):
-                res, overflow = smem_batch(
+                res, overflow = smem_batch_machine(
                     self.idx, [reads[k] for k in dev_idx], seq_len=seq_len
                 )
             for j, k in enumerate(dev_idx):

@@ -1,0 +1,530 @@
+"""Batched SMEM collection as a flat per-lane state machine.
+
+The TPU-right redesign of the reference's 7-stage FPGA dataflow
+(smem/device/smem.cpp: fe/afe/be/lfe/lbe stages arbitrated by a
+``bwt_manager`` that owns all BWT DRAM reads).  The first TPU port
+(jax_impl.py) translated the control flow literally into nested vmapped
+``lax.while_loop``s — under vmap every nesting level runs to the *max*
+trip count over the batch, multiplying divergence across three levels.
+
+Here the whole 3-pass ``mem_collect_intv_new`` pipeline is flattened
+into ONE while_loop over a per-lane state machine: every iteration
+issues exactly one batched FM-index probe (two occ lookups) for all
+lanes — whatever pass/stage each lane is in — then takes one transition.
+All lanes make progress every iteration, so the iteration count is the
+max *total* probe count per read, not the product of per-loop maxima.
+This is exactly the role of the reference's bwt_manager: stages issue
+address requests into one arbitered DRAM stream (smem.cpp:2060-2124);
+on TPU the "arbiter" is XLA batching one gather over the lane axis.
+
+One probe = one 32-byte row gather from a fused (nblk, 8) int32 table
+(4 occ checkpoint counts + 4 packed 2-bit words covering 64 bases) +
+masked popcount — mirroring the reference's 64-byte occ-interleaved
+blocks (smem/host/baseline.cpp bwt_occ4).
+
+States follow the oracle (ops/smem/reference.py = baseline.cpp
+bwt_smem1a_new / bwt_seed_strategy1 / mem_collect_intv_new); results are
+compared EXACTLY against it in tests.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acc_genomics_tpu.ops.smem.index import FMIndex, OCC_INTERVAL
+from acc_genomics_tpu.ops.smem.reference import (
+    MAX_MEM_INTV,
+    MIN_SEED_LEN,
+    SPLIT_LEN,
+    SPLIT_WIDTH,
+)
+
+I32 = jnp.int32
+MAX_OUT = 256  # MAX_INTV_ALLOC
+
+# states
+S_P1_NEXTX = 0  # pass-1 driver: advance x to next base, enter FWD
+S_FWD = 1       # forward extension collecting break intervals   [probe fwd]
+S_BSTART = 2    # per-interval setup: backenlarge vs forwardenlarge
+S_BACK = 3      # backward chain                                 [probe back]
+S_BACK_POST = 4 # back chain epilogue: start/stop/temp/mem, ic++
+S_FWDE_K = 5    # forwardenlarge outer: load back[k]
+S_FWDE_M = 6    # forwardenlarge inner                           [probe fwd]
+S_SKIP = 7      # skip-ahead over hopeless intervals; final push; exit
+S_P2_NEXT = 8   # pass-2 driver: re-seed long low-occ SMEMs from midpoints
+S_P3_NEXTX = 9  # pass-3 driver
+S_P3_EXT = 10   # LAST-like strategy extension                   [probe fwd]
+S_DONE = 11
+
+
+def device_index_fused(fm: FMIndex):
+    """Fused probe table: row b = [cnt0..3, word0..3] (one 32B gather)."""
+    assert fm.seq_len < 2**31
+    nblk = fm.bwt_packed.shape[0]
+    tbl = np.empty((nblk, 8), np.int32)
+    tbl[:, :4] = fm.occ_ckpt[:nblk].astype(np.int32)
+    tbl[:, 4:] = fm.bwt_packed.view(np.int32)
+    return dict(
+        tbl=jnp.asarray(tbl),
+        l2=jnp.asarray(fm.L2.astype(np.int32)),
+        primary=jnp.asarray(np.int32(fm.primary)),
+    )
+
+
+def _occ4_batch(tbl, primary, k):
+    """(B, 4) counts of each base among the first k+1 BWT rows; k (B,)."""
+    valid = k >= 0
+    kk = k - (k >= primary).astype(I32)
+    kk = jnp.maximum(kk, 0)
+    blk = kk // OCC_INTERVAL
+    off = kk % OCC_INTERVAL
+    row = jnp.take(tbl, blk, axis=0)  # (B, 8) — the 32-byte probe
+    cnt = row[:, :4]
+    w = jax.lax.bitcast_convert_type(row[:, 4:], jnp.uint32)  # (B, 4)
+    m_idx = jnp.arange(4, dtype=I32)[None, :]
+    keep = jnp.clip(off[:, None] + 1 - 16 * m_idx, 0, 16)
+    sh = jnp.clip(32 - 2 * keep, 0, 31).astype(jnp.uint32)
+    mask = jnp.where(keep == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) << sh)
+    outs = []
+    for c in range(4):
+        pat = jnp.uint32(0x55555555 * c)
+        nx = ~(w ^ pat)
+        y = nx & (nx >> 1) & jnp.uint32(0x55555555)
+        cc = jax.lax.population_count(y & mask).sum(axis=1, dtype=jnp.uint32).astype(I32)
+        outs.append(cnt[:, c] + cc)
+    out = jnp.stack(outs, axis=1)
+    return jnp.where(valid[:, None], out, 0)
+
+
+def _extend_batch(idx, x0, x1, s, is_back):
+    """Bidirectional extension for all 4 bases, per-lane direction.
+
+    Returns (o0, o1, os) each (B, 4) — bwt_extend semantics
+    (smem/host/baseline.cpp:87-100)."""
+    tbl, primary, l2 = idx["tbl"], idx["primary"], idx["l2"]
+    xf = jnp.where(is_back, x0, x1)
+    xo = jnp.where(is_back, x1, x0)
+    tk = _occ4_batch(tbl, primary, xf - 1)
+    tl = _occ4_batch(tbl, primary, xf - 1 + s)
+    oks = tl - tk
+    cnt_coord = l2[None, :4] + 1 + tk
+    span = ((xf <= primary) & (xf + s - 1 >= primary)).astype(I32)
+    # suffix-inclusive sums in complement order T,G,C,A (4 explicit adds)
+    s3 = oks[:, 3]
+    s2 = s3 + oks[:, 2]
+    s1 = s2 + oks[:, 1]
+    s0 = s1 + oks[:, 0]
+    suff_incl = jnp.stack([s0, s1, s2, s3], axis=1)
+    oth = xo[:, None] + span[:, None] + (suff_incl - oks)
+    ib = is_back[:, None]
+    o0 = jnp.where(ib, cnt_coord, oth)
+    o1 = jnp.where(ib, oth, cnt_coord)
+    return o0, o1, oks
+
+
+def _read_row(buf, row):
+    """buf (L, B), row (B,) -> (B,): value at (row[b], b); 0 out of range."""
+    io = jax.lax.broadcasted_iota(I32, buf.shape, 0)
+    return jnp.sum(jnp.where(io == row[None, :], buf, 0), axis=0, dtype=I32)
+
+
+def _write_row(buf, row, val, mask):
+    """Set buf[row[b], b] = val[b] where mask[b] (row must be in range)."""
+    io = jax.lax.broadcasted_iota(I32, buf.shape, 0)
+    w = (io == row[None, :]) & mask[None, :]
+    return jnp.where(w, val[None, :], buf)
+
+
+def _pick(c, arr4):
+    """arr4 (B,4) -> (B,) at clipped base c."""
+    cc = jnp.clip(c, 0, 3)[:, None]
+    io = jax.lax.broadcasted_iota(I32, arr4.shape, 1)
+    return jnp.sum(jnp.where(io == cc, arr4, 0), axis=1, dtype=I32)
+
+
+def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
+    """Batched 3-pass SMEM collection via the flat state machine.
+
+    seq_tm: (L, B) int32 read codes (pad 4), time-major; lens: (B,)
+    Returns (mem arrays (MAX_OUT, B) x5, mem_n (B,)).
+    """
+    L, B = seq_tm.shape
+    LB = L + 1
+    if max_iters is None:
+        # total probes+transitions per read is bounded by a small multiple
+        # of its length per pass; 64x is a generous safety cap
+        max_iters = 64 * L + 4096
+
+    zb = jnp.zeros(B, I32)
+    zeros_lb = jnp.zeros((LB, B), I32)
+    zeros_mm = jnp.zeros((MAX_OUT, B), I32)
+    ln = lens.astype(I32)
+
+    init = dict(
+        st=jnp.where(ln > 0, S_P1_NEXTX, S_DONE).astype(I32),
+        x=zb, i=zb, ic=zb, k=zb, m=zb,
+        mode=zb + 1, min_intv=zb + 1,
+        p2_k=zb, p2_old_n=zb,
+        curr_n=zb, back_n=zb, mem_n=zb,
+        start=zb, stop=zb, ret=zb,
+        skip_first=jnp.zeros(B, bool),
+        ik0=zb, ik1=zb, iks=zb, ikst=zb, iken=zb,
+        t0=zb, t1=zb, t2=zb, t3=zb, t4=zb,
+        cu0=zeros_lb, cu1=zeros_lb, cu2=zeros_lb, cu3=zeros_lb,  # x0,x1,s,end
+        bk0=zeros_lb, bk1=zeros_lb, bk2=zeros_lb, bk3=zeros_lb, bk4=zeros_lb,
+        mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm, mm4=zeros_mm,
+        iters=jnp.asarray(0, I32),
+    )
+
+    l2 = idx["l2"]
+
+    def seq_at(pos):
+        """seq[pos] per lane; 4 (N / out of range) when pos outside [0, ln)."""
+        io = jax.lax.broadcasted_iota(I32, seq_tm.shape, 0)
+        hit = io == jnp.clip(pos, 0, L - 1)[None, :]
+        v = jnp.sum(jnp.where(hit, seq_tm, 0), axis=0, dtype=I32)
+        return jnp.where((pos >= 0) & (pos < ln), v, 4)
+
+    def cond(s):
+        return jnp.any(s["st"] != S_DONE) & (s["iters"] < max_iters)
+
+    def body(s):
+        st = s["st"]
+        is_p1x = st == S_P1_NEXTX
+        is_fwd = st == S_FWD
+        is_bst = st == S_BSTART
+        is_bck = st == S_BACK
+        is_bpo = st == S_BACK_POST
+        is_fek = st == S_FWDE_K
+        is_fem = st == S_FWDE_M
+        is_skp = st == S_SKIP
+        is_p2 = st == S_P2_NEXT
+        is_p3x = st == S_P3_NEXTX
+        is_p3e = st == S_P3_EXT
+
+        # ---- shared reads --------------------------------------------------
+        # curr row: BSTART reads interval ic; BACK_POST reads next end (ic+1);
+        # SKIP reads end at ic
+        curr_row = jnp.where(is_bpo, s["ic"] + 1, s["ic"])
+        c_x0 = _read_row(s["cu0"], curr_row)
+        c_x1 = _read_row(s["cu1"], curr_row)
+        c_s = _read_row(s["cu2"], curr_row)
+        c_end = _read_row(s["cu3"], curr_row)
+        # back row k (FWDE_K)
+        b_x0 = _read_row(s["bk0"], s["k"])
+        b_x1 = _read_row(s["bk1"], s["k"])
+        b_s = _read_row(s["bk2"], s["k"])
+        b_st = _read_row(s["bk3"], s["k"])
+        b_en = _read_row(s["bk4"], s["k"])
+        # mem row p2_k (P2)
+        p_s = _read_row(s["mm2"], s["p2_k"])
+        p_st = _read_row(s["mm3"], s["p2_k"])
+        p_en = _read_row(s["mm4"], s["p2_k"])
+        mid = (p_st + p_en) >> 1
+
+        # one sequence read per lane, position selected by state
+        pos = jnp.where(is_fwd | is_p3e, s["i"], s["x"])
+        pos = jnp.where(is_bck, s["k"], pos)
+        pos = jnp.where(is_fem, s["m"] - 1, pos)
+        pos = jnp.where(is_p2, mid, pos)
+        rd = seq_at(pos)
+        rd_is_base = rd < 4
+
+        # ---- the one batched probe (bwt_manager analog) ---------------------
+        o0, o1, osz = _extend_batch(idx, s["ik0"], s["ik1"], s["iks"], is_bck)
+        # forward states consume complement base, backward the base itself
+        c_fwd = 3 - rd
+        oc0f, oc1f, ocsf = _pick(c_fwd, o0), _pick(c_fwd, o1), _pick(c_fwd, osz)
+        oc0b, oc1b, ocsb = _pick(rd, o0), _pick(rd, o1), _pick(rd, osz)
+
+        n = dict(s)
+        n["iters"] = s["iters"] + 1
+
+        def upd(key, mask, val):
+            n[key] = jnp.where(mask, val, n[key])
+
+        # helper: push current values into curr buffers
+        def push_curr(mask, v0, v1, v2, v3):
+            slot = jnp.minimum(s["curr_n"], LB - 1)
+            n["cu0"] = _write_row(n["cu0"], slot, v0, mask)
+            n["cu1"] = _write_row(n["cu1"], slot, v1, mask)
+            n["cu2"] = _write_row(n["cu2"], slot, v2, mask)
+            n["cu3"] = _write_row(n["cu3"], slot, v3, mask)
+            upd("curr_n", mask, s["curr_n"] + 1)
+            upd("ret", mask, v3)  # ret = end of last pushed break interval
+
+        # helper: push temp into mem (count past cap for the overflow flag)
+        def push_mem(mask, v0, v1, v2, v3, v4, nkey="mem_n"):
+            cnt = n[nkey]
+            slot = jnp.minimum(cnt, MAX_OUT - 1)
+            w = mask & (cnt < MAX_OUT)
+            n["mm0"] = _write_row(n["mm0"], slot, v0, w)
+            n["mm1"] = _write_row(n["mm1"], slot, v1, w)
+            n["mm2"] = _write_row(n["mm2"], slot, v2, w)
+            n["mm3"] = _write_row(n["mm3"], slot, v3, w)
+            n["mm4"] = _write_row(n["mm4"], slot, v4, w)
+            n[nkey] = jnp.where(mask, cnt + 1, cnt)
+
+        # ================= S_P1_NEXTX =================
+        p1_done = is_p1x & (s["x"] >= ln)
+        p1_enter = is_p1x & (s["x"] < ln) & rd_is_base
+        p1_step = is_p1x & (s["x"] < ln) & ~rd_is_base
+        # -> P2 init
+        upd("st", p1_done, jnp.full_like(st, S_P2_NEXT))
+        upd("p2_old_n", p1_done, s["mem_n"])
+        upd("p2_k", p1_done, zb)
+        # -> enter smem1a at x (min_intv=1, mode=1): init FWD
+        ix0 = jnp.take(l2, jnp.clip(rd, 0, 3)) + 1
+        ix1 = jnp.take(l2, jnp.clip(3 - rd, 0, 3)) + 1
+        isz = jnp.take(l2, jnp.clip(rd, 0, 3) + 1) - jnp.take(l2, jnp.clip(rd, 0, 3))
+        enter_any = p1_enter  # (P2 entry handled below with its own regs)
+        upd("st", p1_enter, jnp.full_like(st, S_FWD))
+        upd("min_intv", p1_enter, jnp.ones_like(zb))
+        upd("mode", p1_enter, jnp.ones_like(zb))
+        upd("st", p1_step, st)  # stay
+        upd("x", p1_step, s["x"] + 1)
+
+        # ================= S_P2_NEXT =================
+        p2_done = is_p2 & (s["p2_k"] >= s["p2_old_n"])
+        p2_live = is_p2 & (s["p2_k"] < s["p2_old_n"])
+        qual = (p_en - p_st >= SPLIT_LEN) & (p_s <= SPLIT_WIDTH) & (s["p2_k"] < MAX_OUT)
+        p2_enter = p2_live & qual & rd_is_base  # rd = seq[mid]
+        p2_step = p2_live & ~(qual & rd_is_base)
+        upd("st", p2_done, jnp.full_like(st, S_P3_NEXTX))
+        upd("x", p2_done, zb)
+        upd("st", p2_enter, jnp.full_like(st, S_FWD))
+        upd("x", p2_enter, mid)
+        upd("min_intv", p2_enter, p_s + 1)
+        upd("mode", p2_enter, zb + 2)
+        upd("p2_k", p2_enter | p2_step, s["p2_k"] + 1)
+        enter_any = enter_any | p2_enter
+
+        # shared smem1a-entry register init (x already set per path)
+        new_x = jnp.where(p2_enter, mid, s["x"])
+        upd("i", enter_any, new_x + 1)
+        upd("curr_n", enter_any, zb)
+        upd("back_n", enter_any, zb)
+        upd("ik0", enter_any, ix0)
+        upd("ik1", enter_any, ix1)
+        upd("iks", enter_any, isz)
+        upd("ikst", enter_any, zb)
+        upd("iken", enter_any, new_x + 1)
+        upd("start", enter_any, new_x)
+        upd("stop", enter_any, new_x)
+
+        # ================= S_FWD =================
+        fwd_end = is_fwd & ((s["i"] >= ln) | ~rd_is_base)  # exhausted or N
+        fwd_ext = is_fwd & (s["i"] < ln) & rd_is_base
+        changed = ocsf != s["iks"]
+        fwd_brk = fwd_ext & changed & (ocsf < s["min_intv"])
+        fwd_go = fwd_ext & ~fwd_brk
+        # pushes: at end/N push current ik; on change push current ik too
+        push_curr(
+            fwd_end | (fwd_ext & changed),
+            s["ik0"], s["ik1"], s["iks"], s["iken"],
+        )
+        # advance ik on non-break extension
+        upd("ik0", fwd_go, oc0f)
+        upd("ik1", fwd_go, oc1f)
+        upd("iks", fwd_go, ocsf)
+        upd("iken", fwd_go, s["i"] + 1)
+        upd("i", fwd_go, s["i"] + 1)
+        # to backward phase
+        to_back = fwd_end | fwd_brk
+        upd("st", to_back, jnp.full_like(st, S_BSTART))
+        upd("ic", to_back, zb)
+        # start/stop already x from entry init
+
+        # ================= S_BSTART =================
+        use_back = (s["back_n"] == 0) | (s["stop"] - s["start"] >= 3)
+        bst_back = is_bst & use_back
+        bst_fwde = is_bst & ~use_back
+        upd("ik0", is_bst, c_x0)
+        upd("ik1", is_bst, c_x1)
+        upd("iks", is_bst, c_s)
+        upd("ikst", is_bst, s["x"])
+        upd("iken", is_bst, c_end)
+        # backenlarge: back = [ik]; k = x-1
+        n["bk0"] = _write_row(n["bk0"], zb, c_x0, bst_back)
+        n["bk1"] = _write_row(n["bk1"], zb, c_x1, bst_back)
+        n["bk2"] = _write_row(n["bk2"], zb, c_s, bst_back)
+        n["bk3"] = _write_row(n["bk3"], zb, s["x"], bst_back)
+        n["bk4"] = _write_row(n["bk4"], zb, c_end, bst_back)
+        upd("back_n", bst_back, jnp.ones_like(zb))
+        upd("k", bst_back, s["x"] - 1)
+        upd("st", bst_back, jnp.full_like(st, S_BACK))
+        # forwardenlarge: stop = curr[ic].end; k = back_n - 1
+        upd("stop", bst_fwde, c_end)
+        upd("k", bst_fwde, s["back_n"] - 1)
+        upd("st", bst_fwde, jnp.full_like(st, S_FWDE_K))
+
+        # ================= S_BACK =================
+        bck_ok = is_bck & rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"])
+        bck_stop = is_bck & ~(rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"]))
+        upd("ik0", bck_ok, oc0b)
+        upd("ik1", bck_ok, oc1b)
+        upd("iks", bck_ok, ocsb)
+        upd("ikst", bck_ok, s["k"])
+        # iken unchanged (= curr[ic].end)
+        slot_b = jnp.minimum(s["back_n"], LB - 1)
+        n["bk0"] = _write_row(n["bk0"], slot_b, oc0b, bck_ok)
+        n["bk1"] = _write_row(n["bk1"], slot_b, oc1b, bck_ok)
+        n["bk2"] = _write_row(n["bk2"], slot_b, ocsb, bck_ok)
+        n["bk3"] = _write_row(n["bk3"], slot_b, s["k"], bck_ok)
+        n["bk4"] = _write_row(n["bk4"], slot_b, s["iken"], bck_ok)
+        upd("back_n", bck_ok, s["back_n"] + 1)
+        upd("k", bck_ok, s["k"] - 1)
+        upd("st", bck_stop, jnp.full_like(st, S_BACK_POST))
+
+        # ================= S_BACK_POST =================
+        # start = curr[ic].end (== iken); stop = curr[ic+1].end or ln
+        upd("start", is_bpo, s["iken"])
+        upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, ln))
+        t_len = s["t4"] - s["t3"]
+        bpo_push = is_bpo & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
+        push_mem(bpo_push, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+        # temp = ik (all back-post paths)
+        for tk_, ik_ in (("t0", "ik0"), ("t1", "ik1"), ("t2", "iks"), ("t3", "ikst"), ("t4", "iken")):
+            upd(tk_, is_bpo, s[ik_])
+        upd("ic", is_bpo, s["ic"] + 1)
+        upd("skip_first", is_bpo, jnp.ones(B, bool))
+        upd("st", is_bpo, jnp.full_like(st, S_SKIP))
+
+        # ================= S_FWDE_K =================
+        fek_done = is_fek & (s["k"] < 0)
+        fek_go = is_fek & (s["k"] >= 0)
+        upd("ic", fek_done, s["ic"] + 1)
+        upd("skip_first", fek_done, jnp.ones(B, bool))
+        upd("st", fek_done, jnp.full_like(st, S_SKIP))
+        upd("ik0", fek_go, b_x0)
+        upd("ik1", fek_go, b_x1)
+        upd("iks", fek_go, b_s)
+        upd("ikst", fek_go, b_st)
+        upd("iken", fek_go, b_en)
+        upd("m", fek_go, s["start"] + 1)
+        upd("st", fek_go, jnp.full_like(st, S_FWDE_M))
+
+        # ================= S_FWDE_M =================
+        fem_fail = is_fem & (ocsf < s["min_intv"])
+        fem_ok = is_fem & ~(ocsf < s["min_intv"])
+        at_stop = fem_ok & (s["m"] == s["stop"])
+        # inner-loop failure: k -= 1, back to FWDE_K
+        upd("k", fem_fail, s["k"] - 1)
+        upd("st", fem_fail, jnp.full_like(st, S_FWDE_K))
+        # successful extension
+        upd("ik0", fem_ok, oc0f)
+        upd("ik1", fem_ok, oc1f)
+        upd("iks", fem_ok, ocsf)
+        upd("m", fem_ok & ~at_stop, s["m"] + 1)
+        # reached stop: finalize interval, temp/mem logic, next interval
+        nw_st = s["x"] - s["k"]
+        upd("ikst", at_stop, nw_st)
+        upd("iken", at_stop, s["stop"])
+        fem_push = at_stop & (nw_st > s["t3"]) & (t_len >= MIN_SEED_LEN)
+        push_mem(fem_push, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+        upd("t0", at_stop, oc0f)
+        upd("t1", at_stop, oc1f)
+        upd("t2", at_stop, ocsf)
+        upd("t3", at_stop, nw_st)
+        upd("t4", at_stop, s["stop"])
+        upd("ic", at_stop, s["ic"] + 1)
+        upd("skip_first", at_stop, jnp.ones(B, bool))
+        upd("st", at_stop, jnp.full_like(st, S_SKIP))
+
+        # ================= S_SKIP =================
+        skp_done = is_skp & (s["ic"] >= s["curr_n"])
+        skp_live = is_skp & ~skp_done
+        # final push of the trailing temp, then exit to the driver
+        fin_push = skp_done & (s["t4"] - s["t3"] >= MIN_SEED_LEN)
+        push_mem(fin_push, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+        back_p1 = skp_done & (s["mode"] == 1)
+        back_p2 = skp_done & (s["mode"] == 2)
+        upd("x", back_p1, s["ret"])
+        upd("st", back_p1, jnp.full_like(st, S_P1_NEXTX))
+        upd("st", back_p2, jnp.full_like(st, S_P2_NEXT))
+        # skip-ahead: stop updates on continuation iterations only
+        upd("stop", skp_live & ~s["skip_first"], c_end)
+        max_len = s["t3"] + c_end
+        skp_more = skp_live & (max_len < MIN_SEED_LEN)
+        skp_exit = skp_live & ~skp_more
+        upd("ic", skp_more, s["ic"] + 1)
+        upd("skip_first", skp_more, jnp.zeros(B, bool))
+        upd("st", skp_exit, jnp.full_like(st, S_BSTART))
+
+        # ================= S_P3_NEXTX =================
+        p3_done = is_p3x & (s["x"] >= ln)
+        p3_enter = is_p3x & (s["x"] < ln) & rd_is_base
+        p3_step = is_p3x & (s["x"] < ln) & ~rd_is_base
+        upd("st", p3_done, jnp.full_like(st, S_DONE))
+        upd("st", p3_enter, jnp.full_like(st, S_P3_EXT))
+        upd("ik0", p3_enter, ix0)
+        upd("ik1", p3_enter, ix1)
+        upd("iks", p3_enter, isz)
+        upd("i", p3_enter, s["x"] + 1)
+        upd("x", p3_step, s["x"] + 1)
+
+        # ================= S_P3_EXT =================
+        p3_out = is_p3e & (s["i"] >= ln)  # exhausted: no seed
+        p3_n = is_p3e & (s["i"] < ln) & ~rd_is_base  # N: stop, x = i+1
+        p3_base = is_p3e & (s["i"] < ln) & rd_is_base
+        hit = p3_base & (ocsf < MAX_MEM_INTV) & ((s["i"] - s["x"]) >= MIN_SEED_LEN)
+        p3_go = p3_base & ~hit
+        push_mem(hit & (ocsf > 0), oc0f, oc1f, ocsf, s["x"], s["i"] + 1)
+        upd("x", p3_out, ln)
+        upd("x", p3_n | hit, s["i"] + 1)
+        upd("st", p3_out | p3_n | hit, jnp.full_like(st, S_P3_NEXTX))
+        upd("ik0", p3_go, oc0f)
+        upd("ik1", p3_go, oc1f)
+        upd("iks", p3_go, ocsf)
+        upd("i", p3_go, s["i"] + 1)
+
+        return n
+
+    final = jax.lax.while_loop(cond, body, init)
+    return (
+        (final["mm0"], final["mm1"], final["mm2"], final["mm3"], final["mm4"]),
+        final["mem_n"],
+        final["iters"],
+    )
+
+
+_collect_jit = jax.jit(smem_collect_machine, static_argnames=("max_iters",))
+
+
+def smem_batch_machine(fm_or_idx, reads: List[np.ndarray], seq_len: int = 256):
+    """Host wrapper: list of nt4 reads -> per-read interval dicts + overflow
+    flags (n > MAX_OUT -> host rerun, smem/main.cpp:158-164)."""
+    idx = (
+        device_index_fused(fm_or_idx)
+        if isinstance(fm_or_idx, FMIndex)
+        else fm_or_idx
+    )
+    bsz = len(reads)
+    seq_tm = np.full((seq_len, bsz), 4, np.int32)
+    lens = np.zeros(bsz, np.int32)
+    for k, r in enumerate(reads):
+        if len(r) > seq_len:
+            raise ValueError("read exceeds seq bucket")
+        seq_tm[: len(r), k] = r
+        lens[k] = len(r)
+    mem, mem_n, _ = _collect_jit(idx, jnp.asarray(seq_tm), jnp.asarray(lens))
+    mem = jax.device_get(mem)
+    mem_n = np.asarray(mem_n)
+    out = []
+    overflow = mem_n > MAX_OUT
+    for k in range(bsz):
+        nn = int(min(mem_n[k], MAX_OUT))
+        out.append(
+            [
+                dict(
+                    x0=int(mem[0][j, k]), x1=int(mem[1][j, k]), s=int(mem[2][j, k]),
+                    start=int(mem[3][j, k]), end=int(mem[4][j, k]),
+                )
+                for j in range(nn)
+            ]
+        )
+    return out, overflow

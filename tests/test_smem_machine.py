@@ -1,0 +1,57 @@
+"""Flat state-machine SMEM engine vs the NumPy oracle (exact)."""
+
+import numpy as np
+
+from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
+from acc_genomics_tpu.ops.smem.index import FMIndex
+from acc_genomics_tpu.ops.smem.machine import MAX_OUT, smem_batch_machine
+from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
+
+
+def _canon(z):
+    return sorted((i["x0"], i["x1"], i["s"], i["start"], i["end"]) for i in z)
+
+
+def test_machine_exact_parity(rng):
+    genome = gen_reference_with_repeats(rng, 2500)
+    fm = FMIndex.build(genome)
+    reads = gen_smem_reads(rng, genome, 12, read_len=80)
+    # edge cases
+    r = reads[0].copy()
+    r[7] = 4
+    r[50:55] = 4
+    reads.append(r)                      # interior Ns
+    reads.append(reads[1][:3].copy())    # shorter than min seed len
+    reads.append(np.full(20, 4, np.uint8))  # all N
+    got, ovf = smem_batch_machine(fm, reads, seq_len=96)
+    assert not ovf.any()
+    for g, r in zip(got, reads):
+        assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
+
+
+def test_machine_mixed_lengths_batch(rng):
+    genome = gen_reference_with_repeats(rng, 1500)
+    fm = FMIndex.build(genome)
+    reads = [
+        gen_smem_reads(rng, genome, 1, read_len=n)[0]
+        for n in (21, 40, 64, 80, 95)
+    ]
+    got, ovf = smem_batch_machine(fm, reads, seq_len=96)
+    for g, r in zip(got, reads):
+        assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
+
+
+def test_machine_overflow_flagged(rng):
+    # a highly repetitive genome + repetitive read drives the interval
+    # count over MAX_OUT: must be flagged, not silently truncated
+    motif = rng.integers(0, 4, 12).astype(np.uint8)
+    genome = np.tile(motif, 300)
+    fm = FMIndex.build(genome)
+    read = np.tile(motif, 8)[:90].copy()
+    got, ovf = smem_batch_machine(fm, [read], seq_len=96)
+    want = mem_collect_intv_oracle(fm, read)
+    if len(want) > MAX_OUT:
+        assert ovf[0]
+    else:
+        assert not ovf[0]
+        assert _canon(got[0]) == _canon(want)
