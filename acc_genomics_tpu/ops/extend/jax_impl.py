@@ -238,17 +238,20 @@ def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
             reg_score, aw_used, done_all,
         )
 
-    neg1 = jnp.full((bsz,), -1, I32)
+    # all state derives from h0 so it inherits the varying mesh axes under
+    # shard_map (scan carry in/out types must match exactly)
+    zb = h0 * 0
+    neg1 = zb - 1
     state = (
         jnp.zeros((Q + 2, bsz), I32) + (h0[None, :] * 0),
         jnp.zeros((Q + 2, bsz), I32) + (h0[None, :] * 0),
         h0,  # max_score
         neg1, neg1, neg1,  # max_i, max_j, max_ie
         neg1,  # gscore
-        zeros((bsz,)),  # max_off
+        zb,  # max_off
         h0,  # reg_score
-        jnp.full((bsz,), W_IN, I32),  # aw_used
-        jnp.zeros((bsz,), bool),  # done
+        zb + W_IN,  # aw_used
+        zb > 0,  # done
     )
     state = run_round(0, state)
     state = run_round(1, state)

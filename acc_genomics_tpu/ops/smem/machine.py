@@ -159,10 +159,12 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         # of its length per pass; 64x is a generous safety cap
         max_iters = 64 * L + 4096
 
-    zb = jnp.zeros(B, I32)
-    zeros_lb = jnp.zeros((LB, B), I32)
-    zeros_mm = jnp.zeros((MAX_OUT, B), I32)
     ln = lens.astype(I32)
+    # derive all carry zeros from the inputs so they inherit the varying
+    # mesh axes under shard_map (carry in/out types must match exactly)
+    zb = ln * 0
+    zeros_lb = jnp.zeros((LB, B), I32) + zb[None, :]
+    zeros_mm = jnp.zeros((MAX_OUT, B), I32) + zb[None, :]
 
     init = dict(
         st=jnp.where(ln > 0, S_P1_NEXTX, S_DONE).astype(I32),
@@ -171,13 +173,13 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         p2_k=zb, p2_old_n=zb,
         curr_n=zb, back_n=zb, mem_n=zb,
         start=zb, stop=zb, ret=zb,
-        skip_first=jnp.zeros(B, bool),
+        skip_first=zb > 0,
         ik0=zb, ik1=zb, iks=zb, ikst=zb, iken=zb,
         t0=zb, t1=zb, t2=zb, t3=zb, t4=zb,
         cu0=zeros_lb, cu1=zeros_lb, cu2=zeros_lb, cu3=zeros_lb,  # x0,x1,s,end
         bk0=zeros_lb, bk1=zeros_lb, bk2=zeros_lb, bk3=zeros_lb, bk4=zeros_lb,
         mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm, mm4=zeros_mm,
-        iters=jnp.asarray(0, I32),
+        iters=jnp.max(zb),  # varying scalar under shard_map
     )
 
     l2 = idx["l2"]

@@ -1,0 +1,72 @@
+"""Data-parallel distributed forms of the SMEM / extend / SW kernels.
+
+Reads, seeds, and alignment pairs are independent, so the distributed
+axis is pure data parallelism: shard the lane/batch dimension over the
+"data" mesh axis with shard_map, replicate the FM-index (the analog of
+the reference replicating the BWT into every DRAM bank and the pac into
+both device DDR banks — smem/host/ocl.cpp:176-292, BWAOCLEnv.h), and
+merge with zero collectives (outputs come back sharded the same way).
+
+PairHMM's richer DP x SP form lives in parallel/sharded.py.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
+from acc_genomics_tpu.ops.smem.machine import smem_collect_machine
+from acc_genomics_tpu.ops.sw.jax_impl import sw_fill
+
+
+def smem_collect_dp(mesh: Mesh, idx, seq_tm, lens):
+    """SMEM state machine, reads sharded over "data", index replicated.
+
+    seq_tm (L, B), lens (B,); B must divide by the data-axis size.
+    Returns (mem arrays (MAX_OUT, B) x5, mem_n (B,), iters per shard).
+    """
+    import jax.numpy as jnp
+
+    idx_spec = jax.tree.map(lambda _: P(), idx)
+
+    def wrapped(idx_, s_, l_):
+        mem, mem_n, iters = smem_collect_machine(idx_, s_, l_)
+        # iters differs per shard: ship it as a per-shard (1,) vector
+        return mem, mem_n, jnp.broadcast_to(iters, (1,))
+
+    fn = jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(idx_spec, P(None, "data"), P("data")),
+        out_specs=((P(None, "data"),) * 5, P("data"), P("data")),
+    )
+    return fn(idx, seq_tm, lens)
+
+
+def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
+    """Banded seed extension, tasks sharded over "data"."""
+    fn = jax.shard_map(
+        sw_extend_batch,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data")) + (P("data"),) * 5,
+        out_specs=jax.tree.map(lambda _: P("data"), dict(
+            score=0, qle=0, tle=0, gtle=0, gscore=0, max_off=0, w=0
+        )),
+    )
+    return fn(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del)
+
+
+def sw_fill_dp(mesh: Mesh, ref_tm, alt_tm, reflen, altlen, strategy: int):
+    """HTC-SW fill, pairs sharded over "data"; backtrack stays host-side."""
+
+    def body(r, a, rl, al):
+        return sw_fill(r, a, rl, al, strategy)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data"), P("data"), P("data")),
+        out_specs=(P(None, None, "data"), P(None, "data"), P(None, "data")),
+    )
+    return fn(ref_tm, alt_tm, reflen, altlen)
