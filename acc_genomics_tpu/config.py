@@ -74,7 +74,7 @@ class SWConfig:
     max_seq_len: int = 1536
     max_batch: int = 260
     # padded (row, col) buckets for the fill kernel
-    seq_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 1536)
+    seq_buckets: Tuple[int, ...] = (64, 128, 192, 256, 320, 384, 512, 768, 1024, 1536)
     matrix_min_cutoff: int = int(-1e8)
     low_init_value: int = -(1 << 30)
 

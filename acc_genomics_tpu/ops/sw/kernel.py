@@ -247,11 +247,14 @@ def sw_fill_pallas(ref_tm, alt_ext, reflen, altlen, strategy: int, interpret=Fal
 def sw_align_batch_pallas(
     refs, alts, strategy: int, rows: int, cols: int, interpret: bool = False
 ) -> List[Tuple[list, int]]:
-    """Batched alignment via the Pallas fill; backtrack on host.
+    """Batched alignment: Pallas fill + device-side backtrack walker.
 
-    Equivalent to ops.sw.jax_impl.sw_align_batch (exact results).
+    The btrack matrix never leaves the device — only the per-pair CIGAR
+    element buffers do (ops/sw/walker.py).  Pairs whose element count
+    overflows the walker cap rerun on the host oracle.  Equivalent to
+    ops.sw.jax_impl.sw_align_batch (exact results).
     """
-    from acc_genomics_tpu.ops.sw.jax_impl import sw_backtrack_slim
+    from acc_genomics_tpu.ops.sw.walker import decode_elements, sw_walk_device
 
     n_real = len(refs)
     bsz = ((n_real + LANES - 1) // LANES) * LANES
@@ -269,25 +272,19 @@ def sw_align_batch_pallas(
         alt_ext[: len(a), k] = a
         reflen[k] = len(r)
         altlen[k] = len(a)
+    rl_d = jnp.asarray(reflen)
+    al_d = jnp.asarray(altlen)
     btr, lastrow_diag, altcol_diag = sw_fill_pallas(
-        jnp.asarray(ref_tm), jnp.asarray(alt_ext),
-        jnp.asarray(reflen), jnp.asarray(altlen), strategy, interpret=interpret,
+        jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d, strategy,
+        interpret=interpret,
     )
-    btr = np.asarray(btr)
-    lastrow_diag = np.asarray(lastrow_diag)
-    altcol_diag = np.asarray(altcol_diag)
+    elem_len, elem_st, en, offset = sw_walk_device(
+        btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
+    )
+    out, overflow = decode_elements(elem_len, elem_st, en, offset, n_real)
+    if overflow[:n_real].any():
+        from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
 
-    out = []
-    igrid = np.arange(rows)
-    for k in range(n_real):
-        rl, al = int(reflen[k]), int(altlen[k])
-        # rebuild row-major btrack rows 1..rl from the diag-major dump:
-        # btrack[i, j] = btr[blk, i + j, i, lane]
-        jgrid = np.arange(al)
-        bt_k = btr[k // LANES, (igrid[:rl, None] + jgrid[None, :]), igrid[:rl, None], k % LANES]
-        lastrow = np.zeros(al + 1, np.int64)
-        lastrow[1:] = lastrow_diag[(rl - 1) + jgrid, k]
-        altcol = np.zeros(rl, np.int64)
-        altcol[:] = altcol_diag[igrid[:rl] + (al - 1), k]
-        out.append(sw_backtrack_slim(bt_k, lastrow, altcol, rl, al, strategy))
+        for k in np.flatnonzero(overflow[:n_real]):
+            out[k] = sw_align_oracle(refs[k], alts[k], strategy)
     return out
