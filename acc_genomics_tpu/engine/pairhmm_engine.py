@@ -99,6 +99,22 @@ class PairHMMEngine:
         self.stats["pairs"] += n
         read_lens = [len(t["rs"]) for t in testcases]
         hap_lens = [len(t["hap"]) for t in testcases]
+
+        # worthFPGA-analog cost gate (FalconPairHMM.cpp:112-139): tiny
+        # workloads skip the accelerator round trip and run on the native
+        # C++ host engine (the reference's AVX-path role)
+        total_cells = sum(r * h for r, h in zip(read_lens, hap_lens))
+        if total_cells < self.min_device_cells:
+            from acc_genomics_tpu import native
+
+            host = native.pairhmm_forward(testcases, np.float32)
+            if host is not None:
+                self.stats["host_native_calls"] = (
+                    self.stats.get("host_native_calls", 0) + 1
+                )
+                self.stats["cells"] += total_cells
+                return self._epilogue(testcases, host)
+
         plan = plan_buckets(
             read_lens, hap_lens, self.config.read_buckets, self.config.hap_buckets
         )
@@ -120,24 +136,40 @@ class PairHMMEngine:
             fetched = jax.device_get([res for _, _, res in pending])
             for (chunk, pack, _), res in zip(pending, fetched):
                 raw[chunk] = pack.unsort(np.asarray(res))
+        return self._epilogue(testcases, raw)
 
+    def _epilogue(self, testcases, raw: np.ndarray) -> np.ndarray:
+        """log10 conversion + fp64 recompute of fp32 underflows (the
+        AVX-double recompute contract, FalconPairHMM.cpp:634-656)."""
+        n = len(testcases)
         out = np.empty(n, np.float64)
         ok = raw >= np.float32(self.config.min_accepted)
         with np.errstate(divide="ignore"):
             out[ok] = np.log10(raw[ok].astype(np.float64)) - np.float64(
                 self.ctx32.log10_initial_constant
             )
-        # fp64 recompute of underflows on host (AVX-double analog)
         bad = np.flatnonzero(~ok)
         self.stats["recomputed"] += len(bad)
-        ctx64 = PairHMMContext(np.float64)
-        with Timer("pairhmm.recompute64"):
-            for i in bad:
-                t = testcases[i]
-                r64 = pairhmm_oracle(
-                    t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"], np.float64
+        if len(bad):
+            from acc_genomics_tpu import native
+
+            ctx64 = PairHMMContext(np.float64)
+            with Timer("pairhmm.recompute64"):
+                tc_bad = [testcases[i] for i in bad]
+                r64 = native.pairhmm_forward(tc_bad, np.float64)
+                if r64 is None:  # no toolchain: NumPy oracle fallback
+                    r64 = np.array(
+                        [
+                            pairhmm_oracle(
+                                t["rs"], t["q"], t["i"], t["d"], t["c"],
+                                t["hap"], np.float64,
+                            )
+                            for t in tc_bad
+                        ]
+                    )
+                out[bad] = np.log10(r64) - np.float64(
+                    ctx64.log10_initial_constant
                 )
-                out[i] = np.log10(r64) - np.float64(ctx64.log10_initial_constant)
         return out
 
     def compute_matrix(self, reads: Sequence[dict], haps: Sequence[np.ndarray]) -> np.ndarray:

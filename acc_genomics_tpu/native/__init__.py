@@ -24,6 +24,7 @@ _i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -63,6 +64,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _f32p, _f32p, ctypes.c_float,
         _f32p, _f32p, _f32p, _f32p, _f32p, _f32p, _f32p, _f32p,
         _i32p, _i32p, _f32p,
+    ]
+    fwd_common = [
+        _i8p, _i8p, _i8p, _i8p, _i8p, _i64p, _i32p,
+        _i8p, _i64p, _i32p, ctypes.c_int64,
+    ]
+    lib.pairhmm_forward_batch_f32.argtypes = fwd_common + [
+        _f32p, _f32p, ctypes.c_float, _f32p,
+    ]
+    lib.pairhmm_forward_batch_f64.argtypes = fwd_common + [
+        _f64p, _f64p, ctypes.c_double, _f64p,
     ]
     _lib = lib
     return lib
@@ -153,3 +164,43 @@ def pairhmm_pack_native(testcases, rows, cols, ph2pr, m2m, initial_constant):
         rs_out.reshape(-1), hap_ext.reshape(-1), y0,
     )
     return arrs, rs_out, hap_ext, y0, lens.astype(np.int32), hlens.astype(np.int32)
+
+
+def pairhmm_forward(testcases, dtype=np.float32) -> Optional[np.ndarray]:
+    """Native batch PairHMM forward (raw pre-log probabilities) — the CPU
+    compute engine standing in for the reference's AVX path
+    (compute_fp_avxs/avxd).  None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+
+    dt = np.dtype(dtype)
+    ctx = PairHMMContext(dt)
+    b = len(testcases)
+    rlens = np.array([len(t["rs"]) for t in testcases], np.int32)
+    hlens = np.array([len(t["hap"]) for t in testcases], np.int32)
+    roffs = np.zeros(b, np.int64)
+    hoffs = np.zeros(b, np.int64)
+    if b > 1:
+        np.cumsum(rlens[:-1], out=roffs[1:])
+        np.cumsum(hlens[:-1], out=hoffs[1:])
+    cat = lambda key: np.ascontiguousarray(
+        np.concatenate([np.asarray(t[key], np.uint8) for t in testcases])
+        if b
+        else np.zeros(0, np.uint8)
+    )
+    rs, q, i, d, c, hap = (cat(k) for k in ("rs", "q", "i", "d", "c", "hap"))
+    out = np.empty(b, dt)
+    fn = (
+        lib.pairhmm_forward_batch_f32
+        if dt == np.float32
+        else lib.pairhmm_forward_batch_f64
+    )
+    fn(
+        rs, q, i, d, c, roffs, rlens, hap, hoffs, hlens, b,
+        np.ascontiguousarray(ctx.ph2pr, dt),
+        np.ascontiguousarray(ctx.match_to_match, dt),
+        dt.type(ctx.initial_constant), out,
+    )
+    return out

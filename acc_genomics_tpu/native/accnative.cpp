@@ -21,6 +21,9 @@
 
 #include <algorithm>
 #include <cstdint>
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#endif
 #include <cstdlib>
 #include <cstring>
 #include <climits>
@@ -308,6 +311,113 @@ void pairhmm_pack(
       hap_ext[(int64_t)hcol * stride + b] = ph[hcol];
     y0[b] = hl > 0 ? initial_constant / (float)hl : 0.f;
   }
+}
+
+}  // extern "C" (reopened below for the PairHMM forward exports)
+
+// ---------------------------------------------------------------------------
+// PairHMM forward: the native CPU compute engine — the role of the
+// reference's AVX path (pairhmm/xlnx/host/avx-pairhmm-template.h via
+// compute_fp_avxs/avxd) for host dispatch and fp64 underflow recompute.
+// Row-major M/X/Y recurrence (GATK 3.7 semantics, baseline_impl.cpp):
+// M and X rows auto-vectorize; Y is the sequential first-order IIR.
+// Tables (ph2pr, triangular matchToMatch) come from the Python context
+// so the numeric contract is shared with the device path.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void phmm_forward_one(
+    const uint8_t* rs, const uint8_t* q, const uint8_t* iq,
+    const uint8_t* dq, const uint8_t* cq, int32_t rlen,
+    const uint8_t* hap, int32_t hlen,
+    const T* ph2pr, const T* m2m, T initial_constant, T* out) {
+  if (hlen <= 0 || rlen <= 0) {
+    *out = (T)0;
+    return;
+  }
+  std::vector<T> m_prev(hlen + 1, (T)0), x_prev(hlen + 1, (T)0);
+  std::vector<T> y_prev(hlen + 1, initial_constant / (T)hlen);
+  std::vector<T> m_cur(hlen + 1), x_cur(hlen + 1), y_cur(hlen + 1);
+  for (int32_t r = 0; r < rlen; ++r) {
+    int32_t qi = iq[r] & 127, qd = dq[r] & 127, qc = cq[r] & 127,
+            qq = q[r] & 127;
+    int32_t lo = qi < qd ? qi : qd, hi = qi < qd ? qd : qi;
+    T pmm = m2m[((int64_t)hi * (hi + 1) >> 1) + lo];
+    T pgapm = (T)1 - ph2pr[qc];
+    T pmx = ph2pr[qi], pxx = ph2pr[qc], pmy = ph2pr[qd], pyy = ph2pr[qc];
+    T em = (T)1 - ph2pr[qq], ex = ph2pr[qq] / (T)3;
+    uint8_t rb = rs[r];
+    m_cur[0] = (T)0;
+    for (int32_t j = 1; j <= hlen; ++j) {
+      uint8_t hb = hap[j - 1];
+      T distm = (rb == hb || rb == 4 || hb == 4) ? em : ex;
+      m_cur[j] =
+          distm * (m_prev[j - 1] * pmm + (x_prev[j - 1] + y_prev[j - 1]) * pgapm);
+    }
+    for (int32_t j = 0; j <= hlen; ++j)
+      x_cur[j] = m_prev[j] * pmx + x_prev[j] * pxx;
+    y_cur[0] = (T)0;
+    for (int32_t j = 1; j <= hlen; ++j)
+      y_cur[j] = m_cur[j - 1] * pmy + y_cur[j - 1] * pyy;
+    m_prev.swap(m_cur);
+    x_prev.swap(x_cur);
+    y_prev.swap(y_cur);
+  }
+  T acc = (T)0;
+  for (int32_t j = 0; j <= hlen; ++j) acc += m_prev[j] + x_prev[j];
+  *out = acc;
+}
+
+template <typename T>
+static void phmm_forward_batch(
+    const uint8_t* rs, const uint8_t* q, const uint8_t* iq,
+    const uint8_t* dq, const uint8_t* cq, const int64_t* roffs,
+    const int32_t* rlens, const uint8_t* hap, const int64_t* hoffs,
+    const int32_t* hlens, int64_t n, const T* ph2pr, const T* m2m,
+    T initial_constant, T* out) {
+#pragma omp parallel
+  {
+#if defined(__x86_64__) || defined(__i386__)
+    // FTZ + DAZ: the fp32 recurrence spends most of its range in
+    // denormals otherwise (the reference sets _MM_SET_FLUSH_ZERO_MODE,
+    // pairhmm/host/main.cpp:248).  Saved and restored per thread so the
+    // caller's float environment is untouched.
+    unsigned int saved_csr = _mm_getcsr();
+    _mm_setcsr(saved_csr | 0x8040);
+#endif
+#pragma omp for schedule(dynamic, 8)
+  for (int64_t b = 0; b < n; ++b) {
+    phmm_forward_one<T>(
+        rs + roffs[b], q + roffs[b], iq + roffs[b], dq + roffs[b],
+        cq + roffs[b], rlens[b], hap + hoffs[b], hlens[b],
+        ph2pr, m2m, initial_constant, out + b);
+  }
+#if defined(__x86_64__) || defined(__i386__)
+    _mm_setcsr(saved_csr);
+#endif
+  }
+}
+
+extern "C" {
+
+void pairhmm_forward_batch_f32(
+    const uint8_t* rs, const uint8_t* q, const uint8_t* iq,
+    const uint8_t* dq, const uint8_t* cq, const int64_t* roffs,
+    const int32_t* rlens, const uint8_t* hap, const int64_t* hoffs,
+    const int32_t* hlens, int64_t n, const float* ph2pr, const float* m2m,
+    float initial_constant, float* out) {
+  phmm_forward_batch<float>(rs, q, iq, dq, cq, roffs, rlens, hap, hoffs,
+                            hlens, n, ph2pr, m2m, initial_constant, out);
+}
+
+void pairhmm_forward_batch_f64(
+    const uint8_t* rs, const uint8_t* q, const uint8_t* iq,
+    const uint8_t* dq, const uint8_t* cq, const int64_t* roffs,
+    const int32_t* rlens, const uint8_t* hap, const int64_t* hoffs,
+    const int32_t* hlens, int64_t n, const double* ph2pr, const double* m2m,
+    double initial_constant, double* out) {
+  phmm_forward_batch<double>(rs, q, iq, dq, cq, roffs, rlens, hap, hoffs,
+                             hlens, n, ph2pr, m2m, initial_constant, out);
 }
 
 }  // extern "C"

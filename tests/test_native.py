@@ -76,3 +76,31 @@ def test_pairhmm_pack_matches_python(rng):
     np.testing.assert_array_equal(rs_out, want.rs)
     np.testing.assert_array_equal(hap_ext, want.hap_ext)
     np.testing.assert_allclose(y0, want.y0, rtol=1e-6)
+
+
+def test_native_pairhmm_forward_matches_oracle(rng):
+    from acc_genomics_tpu import native
+    from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+    from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_batch_oracle
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    tcs = gen_pairhmm_pairs(rng, 32, max_read_len=60, max_hap_len=150)
+    got = native.pairhmm_forward(tcs, np.float64)
+    want = pairhmm_batch_oracle(tcs, np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # f32 parity in log space (raw values scale by different
+    # INITIAL_CONSTANTs: 2^120 fp32 vs 2^1020 fp64)
+    from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+
+    got32 = native.pairhmm_forward(tcs, np.float32)
+    ok = got32 > np.float32(1e-28)
+    l32 = np.log10(got32[ok].astype(np.float64)) - np.float64(
+        PairHMMContext(np.float32).log10_initial_constant
+    )
+    l64 = np.log10(want[ok]) - np.float64(
+        PairHMMContext(np.float64).log10_initial_constant
+    )
+    assert np.max(np.abs((l32 - l64) / l64)) < 5e-3
