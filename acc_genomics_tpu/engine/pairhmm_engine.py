@@ -115,10 +115,28 @@ class PairHMMEngine:
                 self.stats["cells"] += total_cells
                 return self._epilogue(testcases, host)
 
-        plan = plan_buckets(
-            read_lens, hap_lens, self.config.read_buckets, self.config.hap_buckets
-        )
+        # outliers beyond the largest bucket run on the host engine, like
+        # the reference's per-segment AVX fallback (computePairhmmFalcon
+        # `violate` -> computePairhmmAVXSegment, FalconPairHMM.cpp:609-611)
+        fits = [
+            k
+            for k in range(n)
+            if read_lens[k] <= self.config.max_read_len
+            and hap_lens[k] <= self.config.max_hap_len
+        ]
+        over = [k for k in range(n) if k not in set(fits)] if len(fits) < n else []
         raw = np.zeros(n, np.float32)
+        if over:
+            self.stats["host_fallback"] = self.stats.get("host_fallback", 0) + len(over)
+            raw[over] = self._host_forward([testcases[k] for k in over])
+
+        plan = plan_buckets(
+            [read_lens[k] for k in fits],
+            [hap_lens[k] for k in fits],
+            self.config.read_buckets,
+            self.config.hap_buckets,
+        )
+        fits_arr = np.asarray(fits, dtype=np.int64)
         with Timer("pairhmm.device"):
             # launch every bucket before collecting any: packing bucket k+1
             # overlaps device compute of bucket k (async dispatch)
@@ -126,7 +144,7 @@ class PairHMMEngine:
             for (rows, cols), idxs in plan.groups.items():
                 max_pairs = self.config.max_batch_pairs
                 for lo in range(0, len(idxs), max_pairs):
-                    chunk = idxs[lo : lo + max_pairs]
+                    chunk = fits_arr[idxs[lo : lo + max_pairs]]
                     pack, res = self._launch_bucket(
                         [testcases[i] for i in chunk], rows, cols
                     )
@@ -137,6 +155,24 @@ class PairHMMEngine:
             for (chunk, pack, _), res in zip(pending, fetched):
                 raw[chunk] = pack.unsort(np.asarray(res))
         return self._epilogue(testcases, raw)
+
+    def _host_forward(self, tcs) -> np.ndarray:
+        """fp32 forward on the host CPU engine (native C++, oracle fallback)."""
+        from acc_genomics_tpu import native
+
+        res = native.pairhmm_forward(tcs, np.float32)
+        if res is None:
+            res = np.array(
+                [
+                    pairhmm_oracle(
+                        t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"],
+                        np.float32,
+                    )
+                    for t in tcs
+                ],
+                np.float32,
+            )
+        return res
 
     def _epilogue(self, testcases, raw: np.ndarray) -> np.ndarray:
         """log10 conversion + fp64 recompute of fp32 underflows (the

@@ -75,3 +75,29 @@ def test_engine_matrix_layout(rng):
 def test_engine_empty():
     engine = PairHMMEngine()
     assert engine.compute_pairs([]).shape == (0,)
+
+
+def test_oversized_pairs_route_to_host(rng):
+    """Pairs beyond the largest bucket run on the host engine (the
+    reference's per-segment AVX fallback), mixed with device pairs."""
+    from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+    from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
+
+    eng = PairHMMEngine()
+    eng.min_device_cells = 0  # force the device path for in-bucket pairs
+    tcs = gen_pairhmm_pairs(rng, 6, max_read_len=40, max_hap_len=80)
+    # one oversized read, one oversized hap
+    big = gen_pairhmm_pairs(rng, 2, max_read_len=30, max_hap_len=60)
+    nr = eng.config.max_read_len + 5
+    reps = nr // len(big[0]["rs"]) + 1
+    big[0]["rs"] = np.tile(big[0]["rs"], reps)[:nr]
+    for k in ("q", "i", "d", "c"):
+        big[0][k] = np.tile(big[0][k], reps)[:nr]
+    nh = eng.config.max_hap_len + 7
+    big[1]["hap"] = np.tile(big[1]["hap"], nh // len(big[1]["hap"]) + 1)[:nh]
+    tcs = tcs[:3] + [big[0]] + tcs[3:] + [big[1]]
+    out = eng.compute_pairs(tcs)
+    assert eng.stats.get("host_fallback", 0) == 2
+    for t, got in zip(tcs, out):
+        want = pairhmm_loglik_oracle(t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"])
+        assert abs((got - want) / want) < 5e-3
