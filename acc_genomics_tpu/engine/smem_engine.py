@@ -45,7 +45,7 @@ class SmemEngine:
                 k: (jax.device_put(v, self.device) if hasattr(v, "shape") else v)
                 for k, v in idx.items()
             }
-        self.stats = {"reads": 0, "overflow_reruns": 0}
+        self.stats = {"reads": 0, "overflow_reruns": 0, "probe_iters": 0}
 
     def collect(self, reads: List[np.ndarray]) -> List[List[dict]]:
         """3-pass SMEM intervals per read."""
@@ -60,6 +60,9 @@ class SmemEngine:
                 res, overflow = smem_batch_machine(
                     self.idx, [reads[k] for k in dev_idx], seq_len=seq_len
                 )
+            self.stats["probe_iters"] += getattr(
+                smem_batch_machine, "last_iters", 0
+            )
             for j, k in enumerate(dev_idx):
                 if overflow[j]:
                     host_idx.append(k)

@@ -38,9 +38,38 @@ class HaplotypeCallerCore:
         haplotypes: Sequence[np.ndarray],
         reads: Sequence[dict],
     ) -> RegionResult:
-        hap_cigars = self.engine.sw_align(
-            reference_window, list(haplotypes), self.overhang_strategy
-        )
-        lik = self.engine.pairhmm_matrix(reads, haplotypes)
-        best = np.argmax(lik, axis=1) if len(haplotypes) else np.zeros(len(reads), int)
-        return RegionResult(lik, hap_cigars, best)
+        return self.process_regions([(reference_window, haplotypes, reads)])[0]
+
+    def process_regions(
+        self, regions: Sequence[tuple]
+    ) -> List[RegionResult]:
+        """Batch many active regions into single engine calls.
+
+        regions: [(reference_window, haplotypes, reads)].  Region-at-a-time
+        dispatch starves a TPU batch; coalescing all regions' SW pairs and
+        (read, hap) pairs into one device batch each is the TPU analog of
+        the reference worker tiling many requests into device-sized
+        batches (PairHMMWorker.cpp:217-222).
+        """
+        sw_refs, sw_alts = [], []
+        tcs = []
+        for ref_win, haps, reads in regions:
+            sw_refs.extend([ref_win] * len(haps))
+            sw_alts.extend(haps)
+            tcs.extend(dict(hap=h, **r) for r in reads for h in haps)
+
+        cigars_flat = self.engine.sw.align(sw_refs, sw_alts, self.overhang_strategy)
+        liks_flat = self.engine.pairhmm.compute_pairs(tcs)
+
+        out: List[RegionResult] = []
+        c_off = 0
+        l_off = 0
+        for ref_win, haps, reads in regions:
+            nh, nr = len(haps), len(reads)
+            hap_cigars = cigars_flat[c_off : c_off + nh]
+            c_off += nh
+            lik = liks_flat[l_off : l_off + nr * nh].reshape(nr, nh)
+            l_off += nr * nh
+            best = np.argmax(lik, axis=1) if nh else np.zeros(nr, int)
+            out.append(RegionResult(lik, hap_cigars, best))
+        return out

@@ -513,9 +513,13 @@ def smem_batch_machine(fm_or_idx, reads: List[np.ndarray], seq_len: int = 256):
             raise ValueError("read exceeds seq bucket")
         seq_tm[: len(r), k] = r
         lens[k] = len(r)
-    mem, mem_n, _ = _collect_jit(idx, jnp.asarray(seq_tm), jnp.asarray(lens))
-    mem = jax.device_get(mem)
+    mem, mem_n, iters = _collect_jit(idx, jnp.asarray(seq_tm), jnp.asarray(lens))
     mem_n = np.asarray(mem_n)
+    smem_batch_machine.last_iters = int(np.asarray(iters))
+    # fetch only the used row prefix of the interval buffers (the buffers
+    # are sized for the overflow cap, but typical reads fill a few rows)
+    used = int(min(MAX_OUT, mem_n.max(initial=0)))
+    mem = jax.device_get(tuple(m[:used] for m in mem))
     out = []
     overflow = mem_n > MAX_OUT
     for k in range(bsz):

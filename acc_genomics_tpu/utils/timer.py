@@ -69,3 +69,13 @@ class Scoreboard:
 
 
 scoreboard = Scoreboard
+
+
+def device_trace(logdir: str):
+    """jax.profiler trace context: the TPU equivalent of the reference's
+    SDAccel timeline traces (sdaccel.ini profile=true,timeline_trace=true).
+    Usage: `with device_trace("/tmp/trace"): engine.pairhmm_matrix(...)`,
+    then inspect with TensorBoard / xprof."""
+    import jax
+
+    return jax.profiler.trace(logdir)

@@ -28,7 +28,7 @@ def canon(ivs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome", type=int, default=50_000)
-    ap.add_argument("--reads", type=int, default=512)
+    ap.add_argument("--reads", type=int, default=2048)
     ap.add_argument("--read-len", type=int, default=101)
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--check", type=int, default=32, help="reads golden-checked per batch")
@@ -40,6 +40,9 @@ def main():
     t0 = time.time()
     fm = engine.load_reference(genome)
     print(f"index built+uploaded in {time.time()-t0:.2f}s ({fm.seq_len} bases)")
+
+    # warm the jit cache at the real batch shape before timing
+    engine.smem_collect(gen_smem_reads(rng, genome, args.reads, read_len=args.read_len))
 
     failures = 0
     total_reads = 0
@@ -61,8 +64,14 @@ def main():
             f"{n_iv} intervals "
             f"overflow reruns {engine.smem.stats['overflow_reruns']}"
         )
+    # analytical BWT probe traffic (2 probes x 32 B per machine iteration
+    # per lane), the analog of the reference's per-bank DRAM accounting
+    # (smem/host/baseline.cpp, smem/main.cpp:352-366)
+    iters = engine.smem.stats["probe_iters"]
+    traffic = iters * 2 * 32 * args.reads
     print(
-        f"== {total_reads/total_time:.0f} reads/s "
+        f"== {total_reads/total_time:.0f} reads/s, "
+        f"{traffic/total_time/1e9:.2f} GB/s probe traffic "
         f"{'FAILED' if failures else 'PASSED'}"
     )
     return 1 if failures else 0

@@ -102,3 +102,22 @@ def test_genomics_engine_and_pipelines(rng):
     assert best.score == 80  # full-length perfect extension
     assert best.rbeg == pos
     assert best.qbeg == 0
+
+
+def test_hc_process_regions_batched(rng):
+    """Batched multi-region processing == region-at-a-time results."""
+    from acc_genomics_tpu.io.synth import gen_pairhmm_input, gen_sw_batch
+
+    engine = GenomicsEngine()
+    hc = HaplotypeCallerCore(engine)
+    regions = []
+    for _ in range(3):
+        ref_window, haps = gen_sw_batch(rng, 2, ref_len=50)
+        reads, _ = gen_pairhmm_input(rng, 3, 1, max_read_len=25, max_hap_len=40)
+        regions.append((ref_window, haps, reads))
+    batched = hc.process_regions(regions)
+    for reg_in, got in zip(regions, batched):
+        one = hc.process_region(*reg_in)
+        np.testing.assert_allclose(got.likelihoods, one.likelihoods, rtol=1e-12)
+        assert got.hap_cigars == one.hap_cigars
+        np.testing.assert_array_equal(got.best_hap, one.best_hap)
