@@ -24,7 +24,35 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tasks", type=int, default=128)
     ap.add_argument("--read-len", type=int, default=101)
+    ap.add_argument(
+        "--records",
+        metavar="FILE",
+        help="run a binary (read,chain,seed) record dump in the reference's "
+        "format (bwa-sw/sdaccel/main_cl.cpp); requires --genome-npy",
+    )
+    ap.add_argument("--genome-npy", help="forward nt4 reference for --records")
+    ap.add_argument("--golden", help="5-int result dump to compare against")
     args = ap.parse_args()
+
+    if args.records:
+        from acc_genomics_tpu.io import bwasw_records as br
+
+        genome = np.load(args.genome_npy)
+        engine = GenomicsEngine()
+        tasks = br.read_task_file(args.records)
+        t0 = time.time()
+        got = br.run_tasks(engine.extend, genome, tasks)
+        dt = time.time() - t0
+        print(f"{len(got)} tasks in {dt*1e3:.1f}ms")
+        if args.golden:
+            base = {r["seed_index"]: r for r in br.read_results(args.golden)}
+            diffs = sum(
+                1 for r in got
+                if any(base[r["seed_index"]][k] != r[k] for k in r)
+            )
+            print("Pass" if diffs == 0 else f"Failed ({diffs} diffs)")
+            return 1 if diffs else 0
+        return 0
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, 20_000).astype(np.uint8)
