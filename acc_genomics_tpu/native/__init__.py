@@ -130,40 +130,50 @@ def cigar_walk(
     return res
 
 
-def pairhmm_pack_native(testcases, rows, cols, ph2pr, m2m, initial_constant):
+def pairhmm_pack_native(
+    testcases, rows, cols, ph2pr, m2m, initial_constant, pad_to: int = 0
+):
     """Native fill of the time-major PairHMM batch (float32).  Returns the
-    same arrays as ops.pairhmm.pack or None if unavailable."""
+    same arrays as ops.pairhmm.pack or None if unavailable.  pad_to > b
+    adds inert batch-padding lanes (absorbing rows, y0 = 0)."""
     lib = get_lib()
     if lib is None:
         return None
     b = len(testcases)
-    lens = np.array([len(t["rs"]) for t in testcases], np.int32)
-    hlens = np.array([len(t["hap"]) for t in testcases], np.int32)
-    offs = np.zeros(b, np.int64)
-    hoffs = np.zeros(b, np.int64)
-    np.cumsum(lens[:-1], out=offs[1:]) if b > 1 else None
-    np.cumsum(hlens[:-1], out=hoffs[1:]) if b > 1 else None
+    bp = max(pad_to, b)
+    lens = np.zeros(bp, np.int32)
+    hlens = np.zeros(bp, np.int32)
+    lens[:b] = [len(t["rs"]) for t in testcases]
+    hlens[:b] = [len(t["hap"]) for t in testcases]
+    if b and lens.max() >= rows:
+        raise ValueError(f"read length {lens.max()} needs bucket > {rows} rows")
+    if b and hlens.max() > cols:
+        raise ValueError(f"hap length {hlens.max()} exceeds bucket cols {cols}")
+    offs = np.zeros(bp, np.int64)
+    hoffs = np.zeros(bp, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:]) if bp > 1 else None
+    np.cumsum(hlens[:-1], out=hoffs[1:]) if bp > 1 else None
     cat = lambda key: np.ascontiguousarray(
         np.concatenate([np.asarray(t[key], np.uint8) for t in testcases])
         if b else np.zeros(0, np.uint8)
     )
     rs, q, i, d, c = cat("rs"), cat("q"), cat("i"), cat("d"), cat("c")
     hap = cat("hap")
-    shape = (rows, b)
+    shape = (rows, bp)
     arrs = [np.empty(shape, np.float32) for _ in range(8)]
     rs_out = np.empty(shape, np.int32)
-    hap_ext = np.empty((rows + cols, b), np.int32)
-    y0 = np.empty(b, np.float32)
+    hap_ext = np.empty((rows + cols, bp), np.int32)
+    y0 = np.empty(bp, np.float32)
     lib.pairhmm_pack(
         rs, q, i, d, c, offs, lens, hap, hoffs, hlens,
-        b, rows, cols,
+        bp, rows, cols,
         np.ascontiguousarray(ph2pr, np.float32),
         np.ascontiguousarray(m2m, np.float32),
         float(initial_constant),
         *[a.reshape(-1) for a in arrs],
         rs_out.reshape(-1), hap_ext.reshape(-1), y0,
     )
-    return arrs, rs_out, hap_ext, y0, lens.astype(np.int32), hlens.astype(np.int32)
+    return arrs, rs_out, hap_ext, y0, lens, hlens
 
 
 def pairhmm_forward(testcases, dtype=np.float32) -> Optional[np.ndarray]:

@@ -269,6 +269,7 @@ void pairhmm_pack(
   const int32_t HAP_PAD = 5;
   int64_t stride = batch;
   // defaults: absorbing rows
+#pragma omp parallel for schedule(static)
   for (int64_t r = 0; r < rows; ++r) {
     for (int64_t b = 0; b < batch; ++b) {
       int64_t at = r * stride + b;
@@ -280,9 +281,11 @@ void pairhmm_pack(
     }
   }
   int64_t ndiag = (int64_t)rows + cols;
+#pragma omp parallel for schedule(static)
   for (int64_t d = 0; d < ndiag; ++d)
     for (int64_t b = 0; b < batch; ++b) hap_ext[d * stride + b] = HAP_PAD;
 
+#pragma omp parallel for schedule(dynamic, 64)
   for (int32_t b = 0; b < batch; ++b) {
     int32_t len = lens[b];
     const uint8_t* prs = rs + offs[b];

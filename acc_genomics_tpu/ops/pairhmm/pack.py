@@ -117,6 +117,24 @@ def pack_pairhmm_batch(
     dt = np.dtype(dtype).type
     ctx = PairHMMContext(dtype)
     n_real = len(testcases)
+
+    if np.dtype(dtype) == np.float32:
+        # native C++ packer (pack_fpga_input analog) — bit-identical to the
+        # Python loop below (asserted in tests), ~30x faster on big batches
+        from acc_genomics_tpu import native
+
+        b_pad = n_real
+        if pad_lanes and b_pad % LANES:
+            b_pad += LANES - b_pad % LANES
+        packed = native.pairhmm_pack_native(
+            testcases, rows, cols, ctx.ph2pr, ctx.match_to_match,
+            ctx.initial_constant, pad_to=b_pad,
+        )
+        if packed is not None:
+            arrs, rs_out, hap_ext, y0, rslen, haplen = packed
+            return PackedPairHMMBatch(
+                *arrs, rs_out, hap_ext, y0, rslen, haplen, n_real, perm
+            )
     b = n_real
     if pad_lanes and b % LANES:
         b += LANES - b % LANES
