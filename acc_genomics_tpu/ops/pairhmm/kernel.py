@@ -111,23 +111,24 @@ def _pairhmm_diag_kernel(
     last8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 7
     last8 = last8.astype(dtype)
 
-    def step(d, cur, prv):
+    def step(d, hap_d, cur, prv, boundary):
         # slot `prv` holds diagonal d-1; slot `cur` holds d-2 (overwritten)
         # hap mask diagonal register: hd[i] <- hapmask[d - i]
-        hap_d = hap_ext_ref[pl.ds(d, 1), :]  # (1, B)
         hd = jnp.where(row0, jnp.broadcast_to(hap_d, shape), pltpu.roll(hd_buf[:], 1, 0))
         hd_buf[:] = hd
-
-        jd0 = ii == d  # cells in column j == 0 this diagonal
-        colb = jnp.logical_and(jd0, not_row0)
 
         match = (hd & rs_mask) != 0
         distm = jnp.where(hd >= PAD_MASK, zero, jnp.where(match, em_m, em_x))
 
         m_new = distm * (p_mm * ms_buf[cur] + p_gapm * ss_buf[cur])
-        m_new = jnp.where(colb, zero, m_new)
         x_new = p_mx * ms_buf[prv] + p_xx * xs_buf[prv]
-        y_new = jnp.where(jd0, zero, p_my * m_buf[prv] + p_yy * y_buf[prv])
+        y_new = p_my * m_buf[prv] + p_yy * y_buf[prv]
+        if boundary:
+            # column-0 masks only exist while the wavefront touches j == 0
+            # (d < rows); the steady phase skips all four mask ops
+            jd0 = ii == d
+            m_new = jnp.where(jnp.logical_and(jd0, not_row0), zero, m_new)
+            y_new = jnp.where(jd0, zero, y_new)
 
         m_buf[cur] = m_new
         y_buf[cur] = y_new
@@ -137,14 +138,22 @@ def _pairhmm_diag_kernel(
         # only the final sublane can hold the absorbing collector
         acc_buf[:] += jax.lax.slice(x_new, (rows - 8, 0), (rows, LANES)) * last8
 
-    def body(d2, _):
-        d = d2 * 2
-        step(d, 0, 1)
-        step(d + 1, 1, 0)
-        return 0
+    def make_body(boundary):
+        def body(d4, _):
+            d = d4 * 4
+            hap4 = hap_ext_ref[pl.ds(d, 4), :]  # (4, B)
+            step(d, jax.lax.slice(hap4, (0, 0), (1, LANES)), 0, 1, boundary)
+            step(d + 1, jax.lax.slice(hap4, (1, 0), (2, LANES)), 1, 0, boundary)
+            step(d + 2, jax.lax.slice(hap4, (2, 0), (3, LANES)), 0, 1, boundary)
+            step(d + 3, jax.lax.slice(hap4, (3, 0), (4, LANES)), 1, 0, boundary)
+            return 0
+
+        return body
 
     nd = nd_ref[pl.program_id(0)]
-    jax.lax.fori_loop(0, nd // 2, body, 0, unroll=False)
+    nb = (rows + 3) // 4  # boundary iterations cover every d < rows
+    jax.lax.fori_loop(0, nb, make_body(True), 0, unroll=False)
+    jax.lax.fori_loop(nb, nd // 4, make_body(False), 0, unroll=False)
     out_ref[:] = jnp.sum(acc_buf[:], axis=0, keepdims=True)
 
 
@@ -163,7 +172,7 @@ def pairhmm_forward_pallas(
     probabilities.
 
     block_diags: optional (B // 128,) int32 of per-block diagonal
-    counts (>= rows + max haplen in block, even).  Pack with
+    counts (>= rows + max haplen in block, multiple of 4).  Pack with
     sort_by_haplen=True to make the blocks tight.  None runs every
     block the full rows + cols diagonals.
     """
@@ -177,7 +186,7 @@ def pairhmm_forward_pallas(
     nblk = bsz // LANES
 
     if block_diags is None:
-        block_diags = jnp.full((nblk,), (n_diag_max + 1) // 2 * 2, jnp.int32)
+        block_diags = jnp.full((nblk,), (n_diag_max + 3) // 4 * 4, jnp.int32)
 
     # hap chars -> one-hot masks once, outside the kernel (fused by XLA)
     hap_mask = jnp.where(
@@ -228,7 +237,9 @@ def block_diag_counts(pack: PackedPairHMMBatch) -> np.ndarray:
     rows = pack.rows
     hl = pack.haplen.reshape(-1, LANES)
     nd = rows + hl.max(axis=1)
-    return ((nd + 1) // 2 * 2).astype(np.int32)
+    # rounded to the 4-diagonal unroll; the tail's clamped hap slices read
+    # PAD rows, whose columns contribute exactly zero
+    return ((nd + 3) // 4 * 4).astype(np.int32)
 
 
 def forward_from_pack_pallas(pack: PackedPairHMMBatch, interpret: bool = False):
