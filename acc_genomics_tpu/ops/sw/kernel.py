@@ -57,6 +57,7 @@ DMA_GROUP = 16  # diagonals staged per btrack DMA burst
 
 
 def _sw_diag_kernel(
+    nd_ref,  # scalar prefetch: per-block diagonal count (multiple of DMA_GROUP)
     ref_ref, alt_ext_ref, reflen_ref, altlen_ref,
     btr_out, lastrow_out, altcol_out,
     sw_buf, bgv_buf, gsv_buf, bgh_buf, gsh_buf, ad_buf, btr_stage, dma_sems,
@@ -186,31 +187,43 @@ def _sw_diag_kernel(
         ).start()
         return 0
 
-    jax.lax.fori_loop(0, n_diag // DMA_GROUP, group, 0)
+    nd = nd_ref[blk]
+    jax.lax.fori_loop(0, nd // DMA_GROUP, group, 0)
     pltpu.make_async_copy(
         btr_stage,
-        btr_out.at[blk, pl.ds(n_diag - DMA_GROUP, DMA_GROUP)],
+        btr_out.at[blk, pl.ds(nd - DMA_GROUP, DMA_GROUP)],
         dma_sems.at[0],
     ).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("strategy", "interpret"))
-def sw_fill_pallas(ref_tm, alt_ext, reflen, altlen, strategy: int, interpret=False):
+def sw_fill_pallas(
+    ref_tm, alt_ext, reflen, altlen, strategy: int,
+    block_diags=None, interpret=False,
+):
     """Diag-major fill.  ref_tm: (R, B); alt_ext: (D, B) int32 with
     D = R + C (alt chars then 255 padding).  Returns
     (btr (B//128, D, R, 128) int16 diag-major per lane block,
     lastrow_diag (D, B), altcol_diag (D, B)).
+
+    block_diags: per-128-lane-block diagonal trip counts (multiples of
+    DMA_GROUP*2, >= rows + max altlen in block); rows of the outputs at
+    d >= the block's count are unwritten — every consumer masks by the
+    real (reflen, altlen) ranges.
     """
     rows, bsz = ref_tm.shape
     n_diag = alt_ext.shape[0]
     if bsz % LANES:
         raise ValueError(f"batch {bsz} must be a multiple of {LANES}")
     indel_init = strategy in (OVERHANG_INDEL, OVERHANG_LEADING_INDEL)
+    nblk = bsz // LANES
+    if block_diags is None:
+        block_diags = jnp.full((nblk,), n_diag, jnp.int32)
 
-    grid = (bsz // LANES,)
-    row_spec = pl.BlockSpec((rows, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
-    diag_spec = pl.BlockSpec((n_diag, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
-    one_spec = pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    grid = (nblk,)
+    row_spec = pl.BlockSpec((rows, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM)
+    diag_spec = pl.BlockSpec((n_diag, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM)
+    one_spec = pl.BlockSpec((1, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM)
     # ANY-space outputs must be whole-array; the kernel DMAs into its own
     # lane slice using program_id
     btr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -218,26 +231,30 @@ def sw_fill_pallas(ref_tm, alt_ext, reflen, altlen, strategy: int, interpret=Fal
     kernel = functools.partial(_sw_diag_kernel, indel_init=indel_init)
     btr, lastrow, altcol = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[row_spec, diag_spec, one_spec, one_spec],
-        out_specs=(btr_spec, diag_spec, diag_spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[row_spec, diag_spec, one_spec, one_spec],
+            out_specs=(btr_spec, diag_spec, diag_spec),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, LANES), I32),  # sw diagonals
+                pltpu.VMEM((2, rows, LANES), I32),  # bgv
+                pltpu.VMEM((2, rows, LANES), I32),  # gsv
+                pltpu.VMEM((rows, LANES), I32),  # bgh
+                pltpu.VMEM((rows, LANES), I32),  # gsh
+                pltpu.VMEM((rows, LANES), I32),  # alt diag register
+                pltpu.VMEM((DMA_GROUP, rows, LANES), jnp.int16),  # btrack stage
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz // LANES, n_diag, rows, LANES), jnp.int16),
             jax.ShapeDtypeStruct((n_diag, bsz), I32),
             jax.ShapeDtypeStruct((n_diag, bsz), I32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows, LANES), I32),  # sw diagonals
-            pltpu.VMEM((2, rows, LANES), I32),  # bgv
-            pltpu.VMEM((2, rows, LANES), I32),  # gsv
-            pltpu.VMEM((rows, LANES), I32),  # bgh
-            pltpu.VMEM((rows, LANES), I32),  # gsh
-            pltpu.VMEM((rows, LANES), I32),  # alt diag register
-            pltpu.VMEM((DMA_GROUP, rows, LANES), jnp.int16),  # btrack stage
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
         interpret=interpret,
     )(
+        jnp.asarray(block_diags, jnp.int32),
         ref_tm.astype(I32), alt_ext.astype(I32),
         reflen.reshape(1, -1).astype(I32), altlen.reshape(1, -1).astype(I32),
     )
@@ -257,6 +274,9 @@ def sw_align_batch_pallas(
     from acc_genomics_tpu.ops.sw.walker import decode_elements, sw_walk_device
 
     n_real = len(refs)
+    # sort by total diagonal count so each 128-lane block runs only the
+    # diagonals its longest pair needs (the PairHMM trip-count technique)
+    perm = sorted(range(n_real), key=lambda k: -(len(refs[k]) + len(alts[k])))
     bsz = ((n_real + LANES - 1) // LANES) * LANES
     n_diag = rows + cols
     grp = 2 * DMA_GROUP
@@ -265,26 +285,33 @@ def sw_align_batch_pallas(
     alt_ext = np.full((n_diag, bsz), 255, np.int32)
     reflen = np.ones(bsz, np.int32)
     altlen = np.ones(bsz, np.int32)
-    for k, (r, a) in enumerate(zip(refs, alts)):
+    for k, j in enumerate(perm):
+        r, a = refs[j], alts[j]
         if len(r) > rows or len(a) > cols:
             raise ValueError("sequence exceeds bucket")
         ref_tm[: len(r), k] = r
         alt_ext[: len(a), k] = a
         reflen[k] = len(r)
         altlen[k] = len(a)
+    nd_need = (reflen + altlen - 1).reshape(-1, LANES).max(axis=1)
+    block_diags = np.minimum(
+        (nd_need + DMA_GROUP - 1) // DMA_GROUP * DMA_GROUP, n_diag
+    ).astype(np.int32)
     rl_d = jnp.asarray(reflen)
     al_d = jnp.asarray(altlen)
     btr, lastrow_diag, altcol_diag = sw_fill_pallas(
         jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d, strategy,
-        interpret=interpret,
+        block_diags=jnp.asarray(block_diags), interpret=interpret,
     )
     elem_len, elem_st, en, offset = sw_walk_device(
         btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
     )
-    out, overflow = decode_elements(elem_len, elem_st, en, offset, n_real)
-    if overflow[:n_real].any():
-        from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
+    sorted_out, overflow = decode_elements(elem_len, elem_st, en, offset, n_real)
+    out = [None] * n_real
+    for k, j in enumerate(perm):
+        out[j] = sorted_out[k]
+        if overflow[k]:
+            from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
 
-        for k in np.flatnonzero(overflow[:n_real]):
-            out[k] = sw_align_oracle(refs[k], alts[k], strategy)
+            out[j] = sw_align_oracle(refs[j], alts[j], strategy)
     return out
