@@ -487,9 +487,14 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         return n
 
     final = jax.lax.while_loop(cond, body, init)
+    # lanes still running when the safety cap fires are reported as
+    # "unfinished" by forcing their count past the overflow cap — the
+    # engine reruns them on the host (graceful-degradation contract)
+    unfinished = final["st"] != S_DONE
+    mem_n = jnp.where(unfinished, jnp.int32(MAX_OUT + 1), final["mem_n"])
     return (
         (final["mm0"], final["mm1"], final["mm2"], final["mm3"], final["mm4"]),
-        final["mem_n"],
+        mem_n,
         final["iters"],
     )
 

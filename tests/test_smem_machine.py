@@ -55,3 +55,28 @@ def test_machine_overflow_flagged(rng):
     else:
         assert not ovf[0]
         assert _canon(got[0]) == _canon(want)
+
+
+def test_iteration_cap_flags_unfinished_lanes(rng):
+    """A too-small safety cap must flag lanes for host rerun, never
+    return silently-partial interval sets."""
+    import jax.numpy as jnp
+
+    from acc_genomics_tpu.ops.smem.machine import (
+        device_index_fused,
+        smem_collect_machine,
+    )
+
+    genome = gen_reference_with_repeats(rng, 1000)
+    fm = FMIndex.build(genome)
+    idx = device_index_fused(fm)
+    reads = gen_smem_reads(rng, genome, 3, read_len=50)
+    seq = np.full((64, 3), 4, np.int32)
+    lens = np.zeros(3, np.int32)
+    for k, r in enumerate(reads):
+        seq[: len(r), k] = r
+        lens[k] = len(r)
+    _, n, _ = smem_collect_machine(
+        idx, jnp.asarray(seq), jnp.asarray(lens), max_iters=2
+    )
+    assert (np.asarray(n) > MAX_OUT).all()
