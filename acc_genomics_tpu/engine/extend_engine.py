@@ -29,9 +29,16 @@ def _round_up(n, buckets):
 
 
 class ExtendEngine:
-    def __init__(self, config: ExtendConfig = ExtendConfig(), device: Optional[jax.Device] = None):
+    def __init__(
+        self,
+        config: ExtendConfig = ExtendConfig(),
+        device: Optional[jax.Device] = None,
+        mesh=None,
+    ):
         self.config = config
         self.device = device or jax.devices()[0]
+        self.mesh = mesh
+        self._data_size = int(mesh.shape["data"]) if mesh is not None else 1
         self.q_buckets = (32, 64, 128, 256)
         self.t_buckets = (64, 128, 256, 512, 1024)
         self.stats = {"seeds": 0, "device_calls": 0}
@@ -52,9 +59,11 @@ class ExtendEngine:
         pending = []
         with Timer("extend.device"):
             for (bq, bt), idxs in groups.items():
-                bsz = 8  # pad to a power of two: few cached jit shapes
-                while bsz < len(idxs):
+                bsz = max(8, self._data_size)
+                while bsz < len(idxs):  # powers of two: few cached jit shapes
                     bsz *= 2
+                if bsz % self._data_size:
+                    bsz += self._data_size - bsz % self._data_size
                 q_tm = np.full((bq, bsz), 4, np.int32)
                 t_tm = np.full((bt, bsz), 4, np.int32)
                 qlen = np.zeros(bsz, np.int32)
@@ -68,12 +77,19 @@ class ExtendEngine:
                     tlen[j] = len(t)
                     h0[j] = h0s[k]
                 self.stats["device_calls"] += 1
-                res = sw_extend_batch(
-                    jax.device_put(jnp.asarray(q_tm), self.device),
-                    jax.device_put(jnp.asarray(t_tm), self.device),
+                eargs = (
+                    jnp.asarray(q_tm), jnp.asarray(t_tm),
                     jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(h0),
                     jnp.asarray(qlen), jnp.asarray(qlen),
                 )
+                if self.mesh is not None:
+                    from acc_genomics_tpu.parallel.sharded_kernels import (
+                        sw_extend_dp,
+                    )
+
+                    res = sw_extend_dp(self.mesh, *eargs)
+                else:
+                    res = sw_extend_batch(*eargs)
                 pending.append((idxs, res))
             pending = jax.device_get(pending)
         for idxs, res in pending:

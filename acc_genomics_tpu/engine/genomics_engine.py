@@ -25,12 +25,14 @@ class GenomicsEngine:
         self,
         config: EngineConfig = EngineConfig(),
         device: Optional[jax.Device] = None,
+        mesh=None,
     ):
         self.config = config
         self.device = device or jax.devices()[0]
-        self.pairhmm = PairHMMEngine(config.pairhmm, device=self.device)
+        self.mesh = mesh
+        self.pairhmm = PairHMMEngine(config.pairhmm, device=self.device, mesh=mesh)
         self.sw = SWEngine(config.sw, device=self.device)
-        self.extend = ExtendEngine(config.extend, device=self.device)
+        self.extend = ExtendEngine(config.extend, device=self.device, mesh=mesh)
         self._smem: Optional[SmemEngine] = None
 
     # -- index management (BWAOCLEnv / ocl_init analog) -------------------
@@ -41,7 +43,9 @@ class GenomicsEngine:
         return fm
 
     def set_index(self, fm: FMIndex):
-        self._smem = SmemEngine(fm, self.config.smem, device=self.device)
+        self._smem = SmemEngine(
+            fm, self.config.smem, device=self.device, mesh=self.mesh
+        )
 
     @property
     def smem(self) -> SmemEngine:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from acc_genomics_tpu.config import PairHMMConfig
@@ -44,11 +45,16 @@ class PairHMMEngine:
         config: PairHMMConfig = PairHMMConfig(),
         device: Optional[jax.Device] = None,
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ):
         self.config = config
         self.device = device or jax.devices()[0]
         on_tpu = self.device.platform == "tpu"
         self.use_pallas = on_tpu if use_pallas is None else use_pallas
+        # optional device mesh: batches shard over its "data" axis
+        # (the Blaze multi-worker tiling analog, shard_map-based)
+        self.mesh = mesh
+        self._data_size = int(mesh.shape["data"]) if mesh is not None else 1
         self.ctx32 = PairHMMContext(np.float32)
         # cost-model threshold: below this many cells the accelerator
         # round-trip is not worth it (worthFPGA analog)
@@ -70,9 +76,25 @@ class PairHMMEngine:
         pack = pack_pairhmm_batch(
             tcs, rows=rows, cols=cols, dtype=np.float32,
             sort_by_haplen=self.use_pallas,
+            lane_multiple=128 * self._data_size,
         )
         self.stats["cells"] += pack.cells
         self.stats["device_calls"] += 1
+        if self.mesh is not None:
+            from acc_genomics_tpu.parallel.sharded import (
+                pairhmm_forward_dp,
+                pairhmm_forward_dp_pallas,
+            )
+
+            args = [jnp.asarray(v) for v in pack.arrays()]
+            if self.use_pallas:
+                bd = jnp.asarray(block_diag_counts(pack))
+                res = pairhmm_forward_dp_pallas(
+                    self.mesh, *args, block_diags=bd
+                )
+            else:
+                res = pairhmm_forward_dp(self.mesh, *args)
+            return pack, res
         args = [jax.device_put(v, self.device) for v in pack.arrays()]
         if self.use_pallas:
             bd = jax.device_put(

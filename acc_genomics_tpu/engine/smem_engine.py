@@ -35,16 +35,26 @@ class SmemEngine:
         fm: FMIndex,
         config: SmemConfig = SmemConfig(),
         device: Optional[jax.Device] = None,
+        mesh=None,
     ):
         self.fm = fm
         self.config = config
         self.device = device or jax.devices()[0]
+        self.mesh = mesh
         with Timer("smem.index_upload"):
             idx = device_index_fused(fm)
-            self.idx = {
-                k: (jax.device_put(v, self.device) if hasattr(v, "shape") else v)
-                for k, v in idx.items()
-            }
+            if mesh is not None:
+                # replicate the index on every mesh device (the analog of
+                # the reference replicating the BWT per DRAM bank)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                self.idx = {k: jax.device_put(v, rep) for k, v in idx.items()}
+            else:
+                self.idx = {
+                    k: (jax.device_put(v, self.device) if hasattr(v, "shape") else v)
+                    for k, v in idx.items()
+                }
         self.stats = {"reads": 0, "overflow_reruns": 0, "probe_iters": 0}
 
     def collect(self, reads: List[np.ndarray]) -> List[List[dict]]:
@@ -58,7 +68,8 @@ class SmemEngine:
         if dev_idx:
             with Timer("smem.device"):
                 res, overflow = smem_batch_machine(
-                    self.idx, [reads[k] for k in dev_idx], seq_len=seq_len
+                    self.idx, [reads[k] for k in dev_idx], seq_len=seq_len,
+                    mesh=self.mesh,
                 )
             self.stats["probe_iters"] += getattr(
                 smem_batch_machine, "last_iters", 0

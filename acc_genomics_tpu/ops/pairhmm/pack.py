@@ -100,6 +100,7 @@ def pack_pairhmm_batch(
     dtype=np.float32,
     pad_lanes: bool = True,
     sort_by_haplen: bool = False,
+    lane_multiple: int = LANES,
 ) -> PackedPairHMMBatch:
     """Pack testcase dicts (rs,q,i,d,c,hap arrays) into a dense batch.
 
@@ -124,8 +125,8 @@ def pack_pairhmm_batch(
         from acc_genomics_tpu import native
 
         b_pad = n_real
-        if pad_lanes and b_pad % LANES:
-            b_pad += LANES - b_pad % LANES
+        if pad_lanes and b_pad % lane_multiple:
+            b_pad += lane_multiple - b_pad % lane_multiple
         packed = native.pairhmm_pack_native(
             testcases, rows, cols, ctx.ph2pr, ctx.match_to_match,
             ctx.initial_constant, pad_to=b_pad,
@@ -136,8 +137,8 @@ def pack_pairhmm_batch(
                 *arrs, rs_out, hap_ext, y0, rslen, haplen, n_real, perm
             )
     b = n_real
-    if pad_lanes and b % LANES:
-        b += LANES - b % LANES
+    if pad_lanes and b % lane_multiple:
+        b += lane_multiple - b % lane_multiple
     shape = (rows, b)
     p_mm = np.zeros(shape, dtype)
     p_gapm = np.zeros(shape, dtype)

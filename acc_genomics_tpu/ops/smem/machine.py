@@ -502,15 +502,22 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
 _collect_jit = jax.jit(smem_collect_machine, static_argnames=("max_iters",))
 
 
-def smem_batch_machine(fm_or_idx, reads: List[np.ndarray], seq_len: int = 256):
+def smem_batch_machine(
+    fm_or_idx, reads: List[np.ndarray], seq_len: int = 256, mesh=None
+):
     """Host wrapper: list of nt4 reads -> per-read interval dicts + overflow
-    flags (n > MAX_OUT -> host rerun, smem/main.cpp:158-164)."""
+    flags (n > MAX_OUT -> host rerun, smem/main.cpp:158-164).  With a mesh,
+    lanes shard over its "data" axis (index replicated per device)."""
     idx = (
         device_index_fused(fm_or_idx)
         if isinstance(fm_or_idx, FMIndex)
         else fm_or_idx
     )
-    bsz = len(reads)
+    n_in = len(reads)
+    bsz = n_in
+    dsz = int(mesh.shape["data"]) if mesh is not None else 1
+    if bsz % dsz:
+        bsz += dsz - bsz % dsz  # inert zero-length lanes
     seq_tm = np.full((seq_len, bsz), 4, np.int32)
     lens = np.zeros(bsz, np.int32)
     for k, r in enumerate(reads):
@@ -518,7 +525,17 @@ def smem_batch_machine(fm_or_idx, reads: List[np.ndarray], seq_len: int = 256):
             raise ValueError("read exceeds seq bucket")
         seq_tm[: len(r), k] = r
         lens[k] = len(r)
-    mem, mem_n, iters = _collect_jit(idx, jnp.asarray(seq_tm), jnp.asarray(lens))
+    if mesh is not None:
+        from acc_genomics_tpu.parallel.sharded_kernels import smem_collect_dp
+
+        mem, mem_n, iters = smem_collect_dp(
+            mesh, idx, jnp.asarray(seq_tm), jnp.asarray(lens)
+        )
+        iters = np.max(np.asarray(iters))
+    else:
+        mem, mem_n, iters = _collect_jit(
+            idx, jnp.asarray(seq_tm), jnp.asarray(lens)
+        )
     mem_n = np.asarray(mem_n)
     smem_batch_machine.last_iters = int(np.asarray(iters))
     # fetch only the used row prefix of the interval buffers (the buffers
@@ -526,8 +543,8 @@ def smem_batch_machine(fm_or_idx, reads: List[np.ndarray], seq_len: int = 256):
     used = int(min(MAX_OUT, mem_n.max(initial=0)))
     mem = jax.device_get(tuple(m[:used] for m in mem))
     out = []
-    overflow = mem_n > MAX_OUT
-    for k in range(bsz):
+    overflow = (mem_n > MAX_OUT)[:n_in]
+    for k in range(n_in):
         nn = int(min(mem_n[k], MAX_OUT))
         out.append(
             [

@@ -45,6 +45,28 @@ def pairhmm_forward_dp(mesh: Mesh, *packed_arrays):
     return fn(*packed_arrays)
 
 
+def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
+    """Data-parallel Pallas forward: each device runs the diagonal kernel
+    on its lane shard; per-block trip counts shard with the lanes.  The
+    batch must divide by 128 x data-axis size."""
+    from acc_genomics_tpu.ops.pairhmm.kernel import pairhmm_forward_pallas
+
+    spec_rb = P(None, "data")
+    spec_b = P("data")
+
+    def local(*args):
+        *arrs, bd = args
+        return pairhmm_forward_pallas(*arrs, block_diags=bd)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_rb,) * 10 + (spec_b, spec_b),
+        out_specs=spec_b,
+    )
+    return fn(*packed_arrays, block_diags)
+
+
 def _sp_forward_local(
     p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_match, em_mis, rs, hap_loc, y0
 ):

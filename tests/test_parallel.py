@@ -48,3 +48,40 @@ def test_dpsp_seq_only(rng):
     got = np.asarray(pairhmm_forward_dpsp(mesh, *args))
     want = np.asarray(forward_from_pack(pack))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_genomics_engine_on_mesh(rng):
+    """GenomicsEngine(mesh=...) shards batches over the data axis and
+    matches the single-device engine exactly / within contract."""
+    from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+    from acc_genomics_tpu.io.synth import (
+        gen_pairhmm_input,
+        gen_reference_with_repeats,
+        gen_smem_reads,
+    )
+    from acc_genomics_tpu.parallel import make_mesh
+
+    mesh = make_mesh((8, 1))
+    em = GenomicsEngine(mesh=mesh)
+    e1 = GenomicsEngine()
+    em.pairhmm.min_device_cells = 0
+    e1.pairhmm.min_device_cells = 0
+
+    reads, haps = gen_pairhmm_input(rng, 5, 2, max_read_len=25, max_hap_len=40)
+    np.testing.assert_allclose(
+        em.pairhmm_matrix(reads, haps), e1.pairhmm_matrix(reads, haps), rtol=1e-12
+    )
+
+    genome = gen_reference_with_repeats(rng, 1200)
+    em.load_reference(genome)
+    e1.load_reference(genome)
+    sreads = gen_smem_reads(rng, genome, 5, read_len=60)
+    assert em.smem_collect(sreads) == e1.smem_collect(sreads)
+
+    pos = 400
+    read = genome[pos : pos + 60].copy()
+    seeds = [
+        dict(read=read, rseq=genome[pos - 30 : pos + 90], qbeg=20,
+             rbeg_off=50, len=20)
+    ]
+    assert em.extend_seeds(seeds) == e1.extend_seeds(seeds)
