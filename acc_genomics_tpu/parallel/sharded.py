@@ -63,6 +63,9 @@ def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
         mesh=mesh,
         in_specs=(spec_rb,) * 10 + (spec_b, spec_b),
         out_specs=spec_b,
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # kernel is purely per-shard, so vma checking adds nothing here
+        check_vma=False,
     )
     return fn(*packed_arrays, block_diags)
 
