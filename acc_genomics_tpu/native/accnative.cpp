@@ -29,8 +29,6 @@
 #include <climits>
 #include <vector>
 
-extern "C" {
-
 // ---------------------------------------------------------------------------
 // SA-IS suffix array construction (alphabet size K, text values in [0, K)).
 // sa must hold n entries. Internal sentinel handling: we append a virtual
@@ -41,7 +39,10 @@ namespace {
 
 // generic SA-IS over int sequence s of length n with alphabet [0, K)
 // writes suffix order (of the n real suffixes) into sa.
-void sais_core(const int64_t* s, int64_t n, int64_t K, int64_t* sa) {
+// Index type I is int32_t when the text fits (halves memory traffic —
+// SA construction is bandwidth-bound), int64_t otherwise.
+template <typename I>
+void sais_core(const I* s, I n, I K, I* sa) {
   if (n == 0) return;
   if (n == 1) { sa[0] = 0; return; }
 
@@ -55,72 +56,72 @@ void sais_core(const int64_t* s, int64_t n, int64_t K, int64_t* sa) {
     return i > 0 && is_s[i] && !is_s[i - 1];
   };
 
-  std::vector<int64_t> bkt(K + 1);
+  std::vector<I> bkt(K + 1);
   auto bucket_ends = [&](bool ends) {
     std::fill(bkt.begin(), bkt.end(), 0);
-    for (int64_t i = 0; i < n; ++i) bkt[s[i] + 1]++;
-    for (int64_t i = 1; i <= K; ++i) bkt[i] += bkt[i - 1];
+    for (I i = 0; i < n; ++i) bkt[s[i] + 1]++;
+    for (I i = 1; i <= K; ++i) bkt[i] += bkt[i - 1];
     // bkt[c] = start of bucket c; for ends we need end positions
     if (ends) {
       // shift: end of bucket c = bkt[c+1] ... recompute cumulative ends
-      std::vector<int64_t> cnt(K, 0);
-      for (int64_t i = 0; i < n; ++i) cnt[s[i]]++;
-      int64_t acc = 0;
-      for (int64_t c = 0; c < K; ++c) { acc += cnt[c]; bkt[c] = acc; }
+      std::vector<I> cnt(K, 0);
+      for (I i = 0; i < n; ++i) cnt[s[i]]++;
+      I acc = 0;
+      for (I c = 0; c < K; ++c) { acc += cnt[c]; bkt[c] = acc; }
     }
   };
 
-  const int64_t EMPTY = -1;
-  std::vector<int64_t> SA(n + 1, EMPTY);
+  const I EMPTY = -1;
+  std::vector<I> SA(n + 1, EMPTY);
 
-  auto induce = [&](const std::vector<int64_t>& lms) {
+  auto induce = [&](const std::vector<I>& lms) {
     std::fill(SA.begin(), SA.end(), EMPTY);
     SA[0] = n;  // sentinel first
     bucket_ends(true);
     for (int64_t i = (int64_t)lms.size() - 1; i >= 0; --i) {
-      int64_t p = lms[i];
+      I p = lms[i];
       if (p < n) SA[--bkt[s[p]] + 1] = p;  // +1 offset: SA[0] is sentinel
     }
     // induce L from left
     bucket_ends(false);
-    std::vector<int64_t> heads(bkt.begin(), bkt.end());
-    for (int64_t i = 0; i <= n; ++i) {
-      int64_t j = SA[i];
+    std::vector<I> heads(bkt.begin(), bkt.end());
+    for (I i = 0; i <= n; ++i) {
+      I j = SA[i];
       if (j == EMPTY || j <= 0) continue;
-      int64_t p = j - 1;
+      I p = j - 1;
       if (!is_s[p]) SA[heads[s[p]]++ + 1] = p;
     }
     // induce S from right
     bucket_ends(true);
-    for (int64_t i = n; i >= 0; --i) {
-      int64_t j = SA[i];
+    for (I i = n; i >= 0; --i) {
+      I j = SA[i];
       if (j == EMPTY || j <= 0) continue;
-      int64_t p = j - 1;
+      I p = j - 1;
       if (is_s[p]) SA[--bkt[s[p]] + 1] = p;
     }
   };
 
   // collect LMS positions in text order
-  std::vector<int64_t> lms;
-  for (int64_t i = 1; i <= n; ++i)
+  std::vector<I> lms;
+  for (I i = 1; i <= n; ++i)
     if (is_lms(i)) lms.push_back(i);
 
   induce(lms);
 
   // name LMS substrings in SA order
-  std::vector<int64_t> name(n + 1, EMPTY);
-  int64_t n_names = 0;
-  int64_t prev = EMPTY;
-  for (int64_t i = 0; i <= n; ++i) {
-    int64_t p = SA[i];
+  std::vector<I> name(n + 1, EMPTY);
+  I n_names = 0;
+  I prev = EMPTY;
+  for (I i = 0; i <= n; ++i) {
+    I p = SA[i];
     if (p == EMPTY || !(p == n || is_lms(p))) continue;
     if (prev == EMPTY) {
       name[p] = n_names++;
     } else {
       // compare LMS substrings at prev and p
       bool same = true;
-      for (int64_t d = 0;; ++d) {
-        int64_t a = prev + d, b = p + d;
+      for (I d = 0;; ++d) {
+        I a = prev + d, b = p + d;
         bool ea = a == n, eb = b == n;
         if (ea || eb) { same = ea && eb; break; }
         if (s[a] != s[b] || is_s[a] != is_s[b]) { same = false; break; }
@@ -133,14 +134,14 @@ void sais_core(const int64_t* s, int64_t n, int64_t K, int64_t* sa) {
   }
 
   // build reduced problem in text order of LMS positions
-  std::vector<int64_t> reduced;
+  std::vector<I> reduced;
   reduced.reserve(lms.size());
-  for (int64_t p : lms) reduced.push_back(name[p]);
+  for (I p : lms) reduced.push_back(name[p]);
 
-  std::vector<int64_t> lms_order(lms.size());
-  if (n_names < (int64_t)lms.size()) {
-    std::vector<int64_t> rsa(reduced.size());
-    sais_core(reduced.data(), (int64_t)reduced.size(), n_names, rsa.data());
+  std::vector<I> lms_order(lms.size());
+  if (n_names < (I)lms.size()) {
+    std::vector<I> rsa(reduced.size());
+    sais_core<I>(reduced.data(), (I)reduced.size(), n_names, rsa.data());
     for (size_t i = 0; i < rsa.size(); ++i) lms_order[i] = lms[rsa[i]];
   } else {
     for (size_t i = 0; i < lms.size(); ++i) lms_order[reduced[i]] = lms[i];
@@ -149,15 +150,25 @@ void sais_core(const int64_t* s, int64_t n, int64_t K, int64_t* sa) {
   induce(lms_order);
 
   // SA[0] is the sentinel; copy the real suffix order
-  for (int64_t i = 0; i < n; ++i) sa[i] = SA[i + 1];
+  for (I i = 0; i < n; ++i) sa[i] = SA[i + 1];
 }
 
 }  // namespace
 
+extern "C" {
+
 void sais_build(const uint8_t* text, int64_t n, int64_t* sa) {
-  std::vector<int64_t> s(n);
-  for (int64_t i = 0; i < n; ++i) s[i] = text[i];
-  sais_core(s.data(), n, 256, sa);
+  if (n < INT32_MAX - 2) {
+    std::vector<int32_t> s(n);
+    for (int64_t i = 0; i < n; ++i) s[i] = text[i];
+    std::vector<int32_t> sa32(n);
+    sais_core<int32_t>(s.data(), (int32_t)n, 256, sa32.data());
+    for (int64_t i = 0; i < n; ++i) sa[i] = sa32[i];
+  } else {
+    std::vector<int64_t> s(n);
+    for (int64_t i = 0; i < n; ++i) s[i] = text[i];
+    sais_core<int64_t>(s.data(), n, 256, sa);
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -104,13 +104,16 @@ class FMIndex:
         L2[1:] = np.cumsum(counts)
 
         nblk = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+        # per-block base counts -> cumulative checkpoints, fully vectorized
+        # (a per-block Python loop costs ~1 min/20 Mb at genome scale)
+        pad_n = nblk * OCC_INTERVAL - n
+        bwt_pad = np.concatenate([bwt, np.full(pad_n, 4, np.uint8)])
+        blocks = bwt_pad.reshape(nblk, OCC_INTERVAL)
+        per_blk = np.stack(
+            [(blocks == c).sum(axis=1, dtype=np.int64) for c in range(4)], axis=1
+        )
         occ_ckpt = np.zeros((nblk + 1, 4), dtype=np.int64)
-        onehot = np.zeros((n, 4), dtype=np.int64)
-        onehot[np.arange(n), bwt] = 1
-        csum = onehot.cumsum(axis=0)
-        for b in range(1, nblk + 1):
-            end = min(b * OCC_INTERVAL, n)
-            occ_ckpt[b] = csum[end - 1]
+        np.cumsum(per_blk, axis=0, out=occ_ckpt[1:])
         # pack 2-bit codes, 16 per uint32, base j of word at bits (30-2j..)
         pad = nblk * OCC_INTERVAL - n
         codes = np.concatenate([bwt, np.zeros(pad, np.uint8)]).astype(np.uint32)
