@@ -31,7 +31,7 @@ class GenomicsEngine:
         self.device = device or jax.devices()[0]
         self.mesh = mesh
         self.pairhmm = PairHMMEngine(config.pairhmm, device=self.device, mesh=mesh)
-        self.sw = SWEngine(config.sw, device=self.device)
+        self.sw = SWEngine(config.sw, device=self.device, mesh=mesh)
         self.extend = ExtendEngine(config.extend, device=self.device, mesh=mesh)
         self._smem: Optional[SmemEngine] = None
 

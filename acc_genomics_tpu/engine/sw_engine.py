@@ -28,9 +28,11 @@ class SWEngine:
         config: SWConfig = SWConfig(),
         device: Optional[jax.Device] = None,
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ):
         self.config = config
         self.device = device or jax.devices()[0]
+        self.mesh = mesh
         self.use_pallas = (
             self.device.platform == "tpu" if use_pallas is None else use_pallas
         )
@@ -70,7 +72,7 @@ class SWEngine:
 
                 walked = sw_align_batch_pallas(
                     [refs[k] for k in idxs], [alts[k] for k in idxs],
-                    strategy, rows, cols,
+                    strategy, rows, cols, mesh=self.mesh,
                 )
                 for j, k in enumerate(idxs):
                     self.stats["cells"] += len(refs[k]) * len(alts[k])

@@ -262,7 +262,8 @@ def sw_fill_pallas(
 
 
 def sw_align_batch_pallas(
-    refs, alts, strategy: int, rows: int, cols: int, interpret: bool = False
+    refs, alts, strategy: int, rows: int, cols: int,
+    interpret: bool = False, mesh=None,
 ) -> List[Tuple[list, int]]:
     """Batched alignment: Pallas fill + device-side backtrack walker.
 
@@ -277,7 +278,8 @@ def sw_align_batch_pallas(
     # sort by total diagonal count so each 128-lane block runs only the
     # diagonals its longest pair needs (the PairHMM trip-count technique)
     perm = sorted(range(n_real), key=lambda k: -(len(refs[k]) + len(alts[k])))
-    bsz = ((n_real + LANES - 1) // LANES) * LANES
+    lane_mult = LANES * (int(mesh.shape["data"]) if mesh is not None else 1)
+    bsz = ((n_real + lane_mult - 1) // lane_mult) * lane_mult
     n_diag = rows + cols
     grp = 2 * DMA_GROUP
     n_diag = ((n_diag + grp - 1) // grp) * grp
@@ -299,13 +301,21 @@ def sw_align_batch_pallas(
     ).astype(np.int32)
     rl_d = jnp.asarray(reflen)
     al_d = jnp.asarray(altlen)
-    btr, lastrow_diag, altcol_diag = sw_fill_pallas(
-        jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d, strategy,
-        block_diags=jnp.asarray(block_diags), interpret=interpret,
-    )
-    elem_len, elem_st, en, offset = sw_walk_device(
-        btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
-    )
+    if mesh is not None:
+        from acc_genomics_tpu.parallel.sharded_kernels import sw_device_dp
+
+        elem_len, elem_st, en, offset = sw_device_dp(
+            mesh, jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d,
+            strategy, jnp.asarray(block_diags),
+        )
+    else:
+        btr, lastrow_diag, altcol_diag = sw_fill_pallas(
+            jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d, strategy,
+            block_diags=jnp.asarray(block_diags), interpret=interpret,
+        )
+        elem_len, elem_st, en, offset = sw_walk_device(
+            btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
+        )
     sorted_out, overflow = decode_elements(elem_len, elem_st, en, offset, n_real)
     out = [None] * n_real
     for k, j in enumerate(perm):

@@ -57,6 +57,26 @@ def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
     return fn(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del)
 
 
+def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, block_diags):
+    """Full SW device path (Pallas fill + device walker) sharded over
+    "data"; returns the walker's element buffers, lane-sharded."""
+    from acc_genomics_tpu.ops.sw.kernel import sw_fill_pallas
+    from acc_genomics_tpu.ops.sw.walker import sw_walk_device
+
+    def local(r, a, rl, al, bd):
+        btr, lr, ac = sw_fill_pallas(r, a, rl, al, strategy, block_diags=bd)
+        return sw_walk_device(btr, lr, ac, rl, al, strategy)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data"), P("data"), P("data"), P("data")),
+        out_specs=(P(None, "data"), P(None, "data"), P("data"), P("data")),
+        check_vma=False,  # pallas outputs carry no vma annotation
+    )
+    return fn(ref_tm, alt_ext, reflen, altlen, block_diags)
+
+
 def sw_fill_dp(mesh: Mesh, ref_tm, alt_tm, reflen, altlen, strategy: int):
     """HTC-SW fill, pairs sharded over "data"; backtrack stays host-side."""
 
