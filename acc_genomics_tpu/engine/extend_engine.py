@@ -60,8 +60,8 @@ class ExtendEngine:
         with Timer("extend.device"):
             for (bq, bt), idxs in groups.items():
                 bsz = max(8, self._data_size)
-                while bsz < len(idxs):  # powers of two: few cached jit shapes
-                    bsz *= 2
+                while bsz < len(idxs):  # x4 ladder: very few cached shapes
+                    bsz *= 4
                 if bsz % self._data_size:
                     bsz += self._data_size - bsz % self._data_size
                 q_tm = np.full((bq, bsz), 4, np.int32)
