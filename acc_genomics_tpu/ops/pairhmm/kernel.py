@@ -111,49 +111,143 @@ def _pairhmm_diag_kernel(
     last8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 7
     last8 = last8.astype(dtype)
 
-    def step(d, hap_d, cur, prv, boundary):
-        # slot `prv` holds diagonal d-1; slot `cur` holds d-2 (overwritten)
-        # hap mask diagonal register: hd[i] <- hapmask[d - i]
-        hd = jnp.where(row0, jnp.broadcast_to(hap_d, shape), pltpu.roll(hd_buf[:], 1, 0))
-        hd_buf[:] = hd
+    # ---- windowed wavefront phases --------------------------------------
+    # Only rows near the wavefront do useful work: at diagonal d the active
+    # rows are [max(0, d - hap + 1), min(d, rows - 1)].  The loop is split
+    # into phases with static row windows (vector shapes must be static):
+    #   grow:   d <  rows       window [0, W), W stepping up by quarters
+    #   steady: rows <= d       full window
+    #   drain:  d >= nd - 8w    window [rows - 8w, rows), w stepping down
+    # Inactive rows, when computed, self-zero through the PAD hd chain
+    # (distm = 0 -> M = X = 0), so window edges only need the hd and ss
+    # boundary injections below.  This cuts the triangular padding waste
+    # the reference pays for with PU load imbalance.
 
-        match = (hd & rs_mask) != 0
-        distm = jnp.where(hd >= PAD_MASK, zero, jnp.where(match, em_m, em_x))
+    def make_step(w0: int, W: int, boundary: bool, with_acc: bool):
+        lo, hi = w0, w0 + W
+        sl = lambda a: jax.lax.slice(a, (lo, 0), (hi, LANES))
+        p_mm_w, p_gapm_w = sl(p_mm), sl(p_gapm)
+        p_mx_w, p_xx_w = sl(p_mx), sl(p_xx)
+        p_my_w, p_yy_w = sl(p_my), sl(p_yy)
+        em_m_w, em_x_w = sl(em_m), sl(em_x)
+        rs_mask_w = sl(rs_mask)
+        zero_w = jax.lax.slice(zero, (0, 0), (W, LANES))
+        y0b_w = jax.lax.slice(y0b, (0, 0), (W, LANES))
+        iiw = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0) + w0
+        lrow0 = iiw == w0  # local window row 0
+        not_row0_w = iiw != 0
+        wsl = pl.ds(w0, W)
 
-        m_new = distm * (p_mm * ms_buf[cur] + p_gapm * ss_buf[cur])
-        x_new = p_mx * ms_buf[prv] + p_xx * xs_buf[prv]
-        y_new = p_my * m_buf[prv] + p_yy * y_buf[prv]
-        if boundary:
-            # column-0 masks only exist while the wavefront touches j == 0
-            # (d < rows); the steady phase skips all four mask ops
-            jd0 = ii == d
-            m_new = jnp.where(jnp.logical_and(jd0, not_row0), zero, m_new)
-            y_new = jnp.where(jd0, zero, y_new)
+        def step(d, hap_d, cur, prv):
+            # hap mask diagonal register: hd[i] <- hapmask[d - i]; the
+            # window's first row is injected (hap[d - w0]), the rest roll
+            hd = jnp.where(
+                lrow0,
+                jnp.broadcast_to(hap_d, (W, LANES)),
+                pltpu.roll(hd_buf[wsl], 1, 0),
+            )
+            hd_buf[wsl] = hd
 
-        m_buf[cur] = m_new
-        y_buf[cur] = y_new
-        ms_buf[cur] = jnp.where(row0, zero, pltpu.roll(m_new, 1, 0))
-        xs_buf[cur] = jnp.where(row0, zero, pltpu.roll(x_new, 1, 0))
-        ss_buf[cur] = jnp.where(row0, y0b, pltpu.roll(x_new + y_new, 1, 0))
-        # only the final sublane can hold the absorbing collector
-        acc_buf[:] += jax.lax.slice(x_new, (rows - 8, 0), (rows, LANES)) * last8
+            match = (hd & rs_mask_w) != 0
+            distm = jnp.where(
+                hd >= PAD_MASK, zero_w, jnp.where(match, em_m_w, em_x_w)
+            )
 
-    def make_body(boundary):
+            m_new = distm * (p_mm_w * ms_buf[cur, wsl] + p_gapm_w * ss_buf[cur, wsl])
+            x_new = p_mx_w * ms_buf[prv, wsl] + p_xx_w * xs_buf[prv, wsl]
+            y_new = p_my_w * m_buf[prv, wsl] + p_yy_w * y_buf[prv, wsl]
+            if boundary:
+                # column-0 masks only exist while the wavefront touches
+                # j == 0 (d < rows)
+                jd0 = iiw == d
+                m_new = jnp.where(jnp.logical_and(jd0, not_row0_w), zero_w, m_new)
+                y_new = jnp.where(jd0, zero_w, y_new)
+
+            m_buf[cur, wsl] = m_new
+            y_buf[cur, wsl] = y_new
+            if w0 == 0:
+                # absolute row 0: M/X shift in 0, (X+Y) shifts in the Y
+                # boundary IC/haplen
+                ms_buf[cur, wsl] = jnp.where(lrow0, zero_w, pltpu.roll(m_new, 1, 0))
+                xs_buf[cur, wsl] = jnp.where(lrow0, zero_w, pltpu.roll(x_new, 1, 0))
+                ss_buf[cur, wsl] = jnp.where(
+                    lrow0, y0b_w, pltpu.roll(x_new + y_new, 1, 0)
+                )
+            else:
+                # drain window: row w0-1 sits on a PAD column, so its
+                # M = X = 0; its Y still feeds ss and is reconstructed
+                # from the previous diagonal's M/Y at w0-1
+                mb = m_buf[prv, pl.ds(w0 - 1, 1)]
+                yb = y_buf[prv, pl.ds(w0 - 1, 1)]
+                pmy_b = jax.lax.slice(p_my, (w0 - 1, 0), (w0, LANES))
+                pyy_b = jax.lax.slice(p_yy, (w0 - 1, 0), (w0, LANES))
+                ss_bnd = jnp.broadcast_to(pmy_b * mb + pyy_b * yb, (W, LANES))
+                ms_buf[cur, wsl] = jnp.where(lrow0, zero_w, pltpu.roll(m_new, 1, 0))
+                xs_buf[cur, wsl] = jnp.where(lrow0, zero_w, pltpu.roll(x_new, 1, 0))
+                ss_buf[cur, wsl] = jnp.where(
+                    lrow0, ss_bnd, pltpu.roll(x_new + y_new, 1, 0)
+                )
+            if w0 + W < rows:
+                # the shift pushes row W-1's values to row w0+W, one past
+                # the window: spill them so the next (larger-window) phase
+                # reads fresh state at its new rows
+                tail = pl.ds(w0 + W, 1)
+                mt = jax.lax.slice(m_new, (W - 1, 0), (W, LANES))
+                xt = jax.lax.slice(x_new, (W - 1, 0), (W, LANES))
+                yt = jax.lax.slice(y_new, (W - 1, 0), (W, LANES))
+                ms_buf[cur, tail] = mt
+                xs_buf[cur, tail] = xt
+                ss_buf[cur, tail] = xt + yt
+            if with_acc:
+                # only the final sublane can hold the absorbing collector
+                acc_buf[:] += (
+                    jax.lax.slice(x_new, (W - 8, 0), (W, LANES)) * last8
+                )
+
         def body(d4, _):
             d = d4 * 4
-            hap4 = hap_ext_ref[pl.ds(d, 4), :]  # (4, B)
-            step(d, jax.lax.slice(hap4, (0, 0), (1, LANES)), 0, 1, boundary)
-            step(d + 1, jax.lax.slice(hap4, (1, 0), (2, LANES)), 1, 0, boundary)
-            step(d + 2, jax.lax.slice(hap4, (2, 0), (3, LANES)), 0, 1, boundary)
-            step(d + 3, jax.lax.slice(hap4, (3, 0), (4, LANES)), 1, 0, boundary)
+            hap4 = hap_ext_ref[pl.ds(d - w0, 4), :]  # rows d-w0 .. d-w0+3
+            step(d, jax.lax.slice(hap4, (0, 0), (1, LANES)), 0, 1)
+            step(d + 1, jax.lax.slice(hap4, (1, 0), (2, LANES)), 1, 0)
+            step(d + 2, jax.lax.slice(hap4, (2, 0), (3, LANES)), 0, 1)
+            step(d + 3, jax.lax.slice(hap4, (3, 0), (4, LANES)), 1, 0)
             return 0
 
         return body
 
     nd = nd_ref[pl.program_id(0)]
-    nb = (rows + 3) // 4  # boundary iterations cover every d < rows
-    jax.lax.fori_loop(0, nb, make_body(True), 0, unroll=False)
-    jax.lax.fori_loop(nb, nd // 4, make_body(False), 0, unroll=False)
+    nv = rows // 8  # vreg rows
+    q = max(1, -(-nv // 4))  # quarter step, in vregs
+
+    # grow phases: windows [0, 8qk), diagonals [8q(k-1), 8qk)
+    milestones = []
+    m = 8 * q
+    while m < rows:
+        milestones.append(m)
+        m += 8 * q
+    milestones.append(rows)
+    prev = 0
+    for mk in milestones:
+        body = make_step(0, mk, boundary=True, with_acc=(mk == rows))
+        jax.lax.fori_loop(prev // 4, mk // 4, body, 0, unroll=False)
+        prev = mk
+
+    # steady + drain: windows [rows - 8w, rows); window w engages once
+    # every active row >= rows - 8w, i.e. d >= nd - 8w - 1 (using the
+    # block's nd = rows + max haplen as a conservative hap bound)
+    drain_sizes = sorted({q * k for k in (3, 2, 1)} & set(range(1, nv)), reverse=True)
+    starts = [
+        jnp.maximum(jnp.int32(rows), ((nd - 8 * w - 1 + 3) // 4) * 4)
+        for w in drain_sizes
+    ]
+    bounds = [jnp.int32(rows)] + starts + [nd]
+    widths = [nv] + drain_sizes
+    for k, w in enumerate(widths):
+        body = make_step(rows - 8 * w, 8 * w, boundary=False, with_acc=True)
+        lo_b = bounds[k] // 4
+        hi_b = jnp.maximum(lo_b, bounds[k + 1] // 4)
+        jax.lax.fori_loop(lo_b, hi_b, body, 0, unroll=False)
+
     out_ref[:] = jnp.sum(acc_buf[:], axis=0, keepdims=True)
 
 
