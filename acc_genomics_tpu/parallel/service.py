@@ -132,7 +132,17 @@ class EngineServer:
 
     def _dispatch(self, op: int, req: Dict[str, np.ndarray]):
         if op == OP_LOAD_REF:
-            self.engine.load_reference(req["genome"])
+            if "prefix" in req:
+                # load a persisted BWA-format index from the daemon's disk
+                # (the scratch-cache / ocl_init pattern: big read-only state
+                # lives with the accelerator owner, not on the wire)
+                from acc_genomics_tpu.io.bwa_index import load_bwa_index
+
+                prefix = req["prefix"].tobytes().decode()
+                fm, _ = load_bwa_index(prefix)
+                self.engine.set_index(fm)
+            else:
+                self.engine.load_reference(req["genome"])
             return {"ok": np.array([1])}
         if op == OP_PAIRHMM:
             reads = []
@@ -238,6 +248,19 @@ class EngineClient:
             self._local_engine().load_reference(genome)
             return
         _send(self._sock, OP_LOAD_REF, {"genome": np.asarray(genome, np.uint8)})
+        _recv(self._sock)
+
+    def load_reference_path(self, prefix: str):
+        """Point the daemon at a persisted BWA-format index on ITS disk."""
+        req = {"prefix": np.frombuffer(prefix.encode(), np.uint8)}
+        if self._sock is None:
+            from acc_genomics_tpu.io.bwa_index import load_bwa_index
+
+            self.used_fallback = True
+            fm, _ = load_bwa_index(prefix)
+            self._local_engine().set_index(fm)
+            return
+        _send(self._sock, OP_LOAD_REF, req)
         _recv(self._sock)
 
     def smem(self, reads) -> List[List[dict]]:

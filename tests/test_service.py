@@ -92,3 +92,37 @@ def test_client_fallback_without_server(rng):
     assert client.used_fallback
     assert lik.shape == (2, 1)
     assert np.isfinite(lik).all()
+
+
+def test_daemon_loads_persisted_index(rng, tmp_path):
+    """LOAD_REF by path: the daemon loads a BWA-format index from disk
+    (big read-only state stays with the accelerator owner)."""
+    from acc_genomics_tpu.io.bwa_index import save_bwa_index
+    from acc_genomics_tpu.ops.smem.index import FMIndex
+
+    genome = gen_reference_with_repeats(rng, 900)
+    fm = FMIndex.build(genome)
+    prefix = str(tmp_path / "idx")
+    save_bwa_index(prefix, fm)
+
+    server = EngineServer().start()
+    client = EngineClient(*server.address)
+    client.load_reference_path(prefix)
+    reads = gen_smem_reads(rng, genome, 2, read_len=60)
+    ivs = client.smem(reads)
+    canon = lambda z: sorted((i["x0"], i["x1"], i["s"], i["start"], i["end"]) for i in z)
+    for r, got in zip(reads, ivs):
+        assert canon(got) == canon(mem_collect_intv_oracle(fm, r))
+    client.shutdown_server()
+    server.stop()
+
+
+def test_device_trace_smoke(tmp_path):
+    from acc_genomics_tpu.utils.timer import device_trace
+    import jax.numpy as jnp
+
+    with device_trace(str(tmp_path / "trace")):
+        jnp.arange(8).sum().block_until_ready()
+    import os
+
+    assert any(os.scandir(str(tmp_path / "trace")))
