@@ -80,3 +80,21 @@ def test_iteration_cap_flags_unfinished_lanes(rng):
         idx, jnp.asarray(seq), jnp.asarray(lens), max_iters=2
     )
     assert (np.asarray(n) > MAX_OUT).all()
+
+
+def test_machine_fuzz_seeds(rng):
+    """Exact parity across varied genome structures and seeds; the corpus
+    exercises every oracle branch (backenlarge/forwardenlarge/skip/P2/P3 —
+    verified by instrumentation)."""
+    for seed, glen, rep_len, n_rep in ((7, 800, 20, 20), (11, 3000, 60, 4), (23, 1500, 35, 12)):
+        r2 = np.random.default_rng(seed)
+        genome = gen_reference_with_repeats(r2, glen, repeat_len=rep_len, n_repeats=n_rep)
+        fm = FMIndex.build(genome)
+        reads = gen_smem_reads(r2, genome, 6, read_len=75)
+        got, ovf = smem_batch_machine(fm, reads, seq_len=80)
+        for g, r, o in zip(got, reads, ovf):
+            want = mem_collect_intv_oracle(fm, r)
+            if o:
+                assert len(want) > MAX_OUT
+            else:
+                assert _canon(g) == _canon(want)
