@@ -87,3 +87,26 @@ def test_seed_resolution(rng):
     assert res["qBeg"] == 0
     assert res["qEnd"] == 40  # right query length
     assert res["score"] == 100  # whole read matches
+
+
+def test_extend_degenerate_seeds(rng):
+    """Edge seeds: qbeg=0 (no left), seed at read end (no right),
+    whole-read seed (neither side) — exact records vs oracle."""
+    from acc_genomics_tpu.engine.extend_engine import ExtendEngine
+    from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+
+    genome = rng.integers(0, 4, 1000).astype(np.uint8)
+    pos = 300
+    read = genome[pos : pos + 60].copy()
+    lo = pos - 40
+    rseq = genome[lo : pos + 100]
+    seeds = [
+        dict(read=read, rseq=rseq, qbeg=0, rbeg_off=pos - lo, len=20),
+        dict(read=read, rseq=rseq, qbeg=40, rbeg_off=pos + 40 - lo, len=20),
+        dict(read=read, rseq=rseq, qbeg=0, rbeg_off=pos - lo, len=60),
+    ]
+    eng = ExtendEngine()
+    got = eng.extend_seeds(seeds)
+    for s, g in zip(seeds, got):
+        want = extend_seed_oracle(s["read"], s["rseq"], s["qbeg"], s["rbeg_off"], s["len"])
+        assert g == {k: want[k] for k in g}, (s["qbeg"], s["len"], g, want)
