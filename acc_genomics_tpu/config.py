@@ -106,3 +106,43 @@ class EngineConfig:
     # hap/target columns (see parallel/)
     mesh_shape: Tuple[int, int] = (1, 1)
     mesh_axes: Tuple[str, str] = ("data", "seq")
+
+
+def engine_config_from_dict(raw: dict) -> "EngineConfig":
+    """Runtime config mapping -> EngineConfig (the analog of the
+    reference's Blaze protobuf conf mapping accelerators to kernel
+    geometry params, pairhmm/xlnx.conf).  Keys mirror the dataclass
+    fields; unknown keys raise, missing keys keep defaults."""
+    raw = dict(raw)
+
+    def build(cls, d):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                raise ValueError(f"unknown {cls.__name__} key: {k}")
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+    sub = {}
+    for name, cls in (
+        ("pairhmm", PairHMMConfig), ("smem", SmemConfig),
+        ("sw", SWConfig), ("extend", ExtendConfig),
+    ):
+        if name in raw:
+            sub[name] = build(cls, raw.pop(name))
+    for k in ("mesh_shape", "mesh_axes"):
+        if k in raw:
+            sub[k] = tuple(raw.pop(k))
+    if raw:
+        raise ValueError(f"unknown EngineConfig keys: {sorted(raw)}")
+    return EngineConfig(**sub)
+
+
+def engine_config_from_json(path: str) -> "EngineConfig":
+    import json
+
+    with open(path) as f:
+        return engine_config_from_dict(json.load(f))

@@ -339,3 +339,60 @@ class EngineClient:
         if self._sock is not None:
             self._sock.close()
             self._sock = None
+
+
+def main(argv=None):
+    """Daemon entrypoint: `python -m acc_genomics_tpu.parallel.service`.
+
+    The runnable counterpart of the reference's Blaze daemon started from
+    a protobuf conf (pairhmm/xlnx.conf): a JSON config selects bind
+    address, engine geometry, and an optional persisted index to preload.
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="acc_genomics_tpu engine daemon")
+    ap.add_argument("--conf", help="JSON daemon config file")
+    ap.add_argument("--host", default=None)
+    ap.add_argument("--port", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    host, port, index_prefix = "127.0.0.1", 0, None
+    engine = None
+    if args.conf:
+        with open(args.conf) as f:
+            raw = json.load(f)
+        host = raw.pop("host", host)
+        port = raw.pop("port", port)
+        index_prefix = raw.pop("index_prefix", None)
+        engine_conf = raw.pop("engine", None)
+        if raw:
+            raise ValueError(f"unknown daemon config keys: {sorted(raw)}")
+        if engine_conf is not None:
+            from acc_genomics_tpu.config import engine_config_from_dict
+            from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+
+            engine = GenomicsEngine(engine_config_from_dict(engine_conf))
+    if args.host is not None:
+        host = args.host
+    if args.port is not None:
+        port = args.port
+
+    server = EngineServer(host=host, port=port, engine=engine)
+    if index_prefix:
+        from acc_genomics_tpu.io.bwa_index import load_bwa_index
+
+        fm, _ = load_bwa_index(index_prefix)
+        server.engine.set_index(fm)
+        print(f"index loaded from {index_prefix} ({fm.seq_len // 2} bases)")
+    print(f"engine daemon listening on {server.address[0]}:{server.address[1]}",
+          flush=True)
+    try:
+        server._server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

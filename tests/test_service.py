@@ -126,3 +126,56 @@ def test_device_trace_smoke(tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path / "trace")))
+
+
+def test_daemon_cli_conf(rng, tmp_path):
+    """The daemon entrypoint: JSON conf -> running server (subprocess),
+    client round trip (the Blaze conf/daemon analog)."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from acc_genomics_tpu.io.bwa_index import save_bwa_index
+    from acc_genomics_tpu.ops.smem.index import FMIndex
+
+    genome = gen_reference_with_repeats(rng, 700)
+    fm = FMIndex.build(genome)
+    prefix = str(tmp_path / "idx")
+    save_bwa_index(prefix, fm)
+    conf = dict(
+        host="127.0.0.1", port=0, index_prefix=prefix,
+        engine=dict(pairhmm=dict(read_buckets=[32, 64], hap_buckets=[64, 128])),
+    )
+    cpath = tmp_path / "daemon.json"
+    cpath.write_text(json.dumps(conf))
+    env = dict(os.environ)
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "acc_genomics_tpu.parallel.service",
+         "--conf", str(cpath)],
+        env=env, cwd=root, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        line = ""
+        for _ in range(2):
+            line = proc.stdout.readline()
+            m = re.search(r"listening on ([\d.]+):(\d+)", line)
+            if m:
+                break
+        assert m, line
+        client = EngineClient(m.group(1), int(m.group(2)), timeout=30)
+        assert client.connected
+        reads = gen_smem_reads(rng, genome, 2, read_len=50)
+        ivs = client.smem(reads)
+        canon = lambda z: sorted(
+            (i["x0"], i["x1"], i["s"], i["start"], i["end"]) for i in z
+        )
+        for r, got in zip(reads, ivs):
+            assert canon(got) == canon(mem_collect_intv_oracle(fm, r))
+        client.shutdown_server()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
