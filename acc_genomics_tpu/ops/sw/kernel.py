@@ -106,89 +106,176 @@ def _sw_diag_kernel(
             return ramp(d), ramp(d + 1)
         return 0, 0
 
-    def step(d, cur, prv, off=0):
-        sw1 = sw_buf[prv]  # diagonal d-1
-        sw2 = sw_buf[cur]  # diagonal d-2 (about to be overwritten)
-        bgv = bgv_buf[prv]
-        gsv = gsv_buf[prv]
+    # ---- windowed wavefront phases (see ops/pairhmm/kernel.py) -----------
+    # Only rows [max(0, d - alt + 1), min(d, rows - 1)] are active at
+    # diagonal d; phases run static row windows.  Unlike PairHMM the
+    # shifted state here is rolled at READ time, so window growth needs no
+    # spillover writes; drain windows inject the boundary row's buffered
+    # values (stale values only ever feed cells past every lane's alt
+    # length, whose btrack/scores are never read back).
 
-        alt_d = alt_ext_ref[pl.ds(d, 1), :]
-        ad = jnp.where(row0, jnp.broadcast_to(alt_d, shape), pltpu.roll(ad_buf[:], 1, 0))
-        ad_buf[:] = ad
+    def make_step(w0: int, W: int, boundary: bool):
+        # window-shaped values are constructed directly — slicing a
+        # broadcast/iota value trips Mosaic's strided-slice layout pass
+        refc_w = jax.lax.slice(refc, (w0, 0), (w0 + W, LANES))
+        zero_w = jnp.zeros((W, LANES), I32)
+        low_w = jnp.full((W, LANES), LOW_INIT, I32)
+        iiw = jax.lax.broadcasted_iota(I32, (W, LANES), 0) + w0
+        if indel_init:
+            colbnd_w = W_OPEN + iiw * W_EXTEND
+            colbnd_prev_w = jnp.where(iiw == 0, 0, W_OPEN + (iiw - 1) * W_EXTEND)
+        else:
+            colbnd_w = zero_w
+            colbnd_prev_w = zero_w
+        last_sel_w = jnp.broadcast_to(reflen, (W, LANES)) - 1
+        altc_sel_w = jnp.broadcast_to(altlen, (W, LANES)) - 1
+        lrow0 = iiw == w0
+        wsl = pl.ds(w0, W)
+        bsl = pl.ds(w0 - 1, 1) if w0 > 0 else None  # boundary row below
 
-        jd0 = ii == d
-        bnd_diag, bnd_up = rowbnd(d)
+        def shift_in(arr_w, bnd_buf, bnd_row0):
+            """Shift down by one row; row w0 takes the boundary value:
+            the absolute row-0 constant when w0 == 0, else the buffered
+            row w0-1 (fresh exactly while that cell can feed an active
+            cell)."""
+            rolled = pltpu.roll(arr_w, 1, 0)
+            if w0 == 0:
+                return jnp.where(lrow0, bnd_row0, rolled)
+            return jnp.where(lrow0, jnp.broadcast_to(bnd_buf, (W, LANES)), rolled)
 
-        wd = jnp.where(ad == refc, W_MATCH, W_MISMATCH)
-        sw2s = jnp.where(row0, bnd_diag, pltpu.roll(sw2, 1, 0))
-        sw2s = jnp.where(jnp.logical_and(jd0, jnp.logical_not(row0)), colbnd_prev, sw2s)
-        step_diag = sw2s + wd
+        def step(d, cur, prv, off):
+            sw1 = sw_buf[prv, wsl]  # diagonal d-1
+            sw2 = sw_buf[cur, wsl]
+            bgv = bgv_buf[prv, wsl]
+            gsv = gsv_buf[prv, wsl]
 
-        sw1s = jnp.where(row0, bnd_up, pltpu.roll(sw1, 1, 0))
-        bgvs = jnp.where(row0, low, pltpu.roll(bgv, 1, 0))
-        gsvs = jnp.where(row0, zero, pltpu.roll(gsv, 1, 0))
-        prev_gap_v = sw1s + W_OPEN
-        bgv_ext = bgvs + W_EXTEND
-        take_v = prev_gap_v > bgv_ext
-        bgv_n = jnp.where(take_v, prev_gap_v, bgv_ext)
-        gsv_n = jnp.where(take_v, 1, gsvs + 1)
+            alt_d = alt_ext_ref[pl.ds(d - w0, 1), :]  # ad[w0] <- alt[d - w0]
+            ad = jnp.where(
+                lrow0,
+                jnp.broadcast_to(alt_d, (W, LANES)),
+                pltpu.roll(ad_buf[wsl], 1, 0),
+            )
+            ad_buf[wsl] = ad
 
-        left = jnp.where(jd0, colbnd, sw1)  # matrix sw[i+1][j]
-        prev_gap_h = left + W_OPEN
-        bgh_ext = bgh_buf[:] + W_EXTEND
-        take_h = prev_gap_h > bgh_ext
-        bgh_n = jnp.where(take_h, prev_gap_h, bgh_ext)
-        gsh_n = jnp.where(take_h, 1, gsh_buf[:] + 1)
-        valid = jnp.logical_and(ii <= d, d - ii < cols)
-        bgh_n = jnp.where(valid, bgh_n, bgh_buf[:])
-        gsh_n = jnp.where(valid, gsh_n, gsh_buf[:])
-        bgh_buf[:] = bgh_n
-        gsh_buf[:] = gsh_n
+            bnd_diag, bnd_up = rowbnd(d)
 
-        step_down = bgv_n
-        step_right = bgh_n
-        use_diag = jnp.logical_and(step_diag >= step_down, step_diag >= step_right)
-        use_right = jnp.logical_and(jnp.logical_not(use_diag), step_right >= step_down)
-        val = jnp.where(use_diag, step_diag, jnp.where(use_right, step_right, step_down))
-        sw_new = jnp.maximum(MATRIX_MIN_CUTOFF, val)
-        btr = jnp.where(use_diag, 0, jnp.where(use_right, -gsh_n, gsv_n))
+            wd = jnp.where(ad == refc_w, W_MATCH, W_MISMATCH)
+            sw2s = shift_in(sw2, sw_buf[cur, bsl] if w0 else None, bnd_diag)
+            if boundary:
+                jd0 = iiw == d
+                # boundary phases always run the full-prefix window
+                sw2s = jnp.where(
+                    jnp.logical_and(jd0, jnp.logical_not(lrow0)),
+                    colbnd_prev_w, sw2s,
+                )
+            step_diag = sw2s + wd
 
-        sw_buf[cur] = sw_new
-        bgv_buf[cur] = bgv_n
-        gsv_buf[cur] = gsv_n
+            sw1s = shift_in(sw1, sw_buf[prv, bsl] if w0 else None, bnd_up)
+            bgvs = shift_in(bgv, bgv_buf[prv, bsl] if w0 else None, low_w)
+            gsvs = shift_in(gsv, gsv_buf[prv, bsl] if w0 else None, zero_w)
+            prev_gap_v = sw1s + W_OPEN
+            bgv_ext = bgvs + W_EXTEND
+            take_v = prev_gap_v > bgv_ext
+            bgv_n = jnp.where(take_v, prev_gap_v, bgv_ext)
+            gsv_n = jnp.where(take_v, 1, gsvs + 1)
 
-        # stage btrack (int16) at a static group offset
-        btr_stage[off] = btr.astype(jnp.int16)
+            if boundary:
+                left = jnp.where(jd0, colbnd_w, sw1)  # matrix sw[i+1][j]
+            else:
+                left = sw1
+            prev_gap_h = left + W_OPEN
+            bgh_ext = bgh_buf[wsl] + W_EXTEND
+            take_h = prev_gap_h > bgh_ext
+            bgh_n = jnp.where(take_h, prev_gap_h, bgh_ext)
+            gsh_n = jnp.where(take_h, 1, gsh_buf[wsl] + 1)
+            valid = jnp.logical_and(iiw <= d, d - iiw < cols)
+            bgh_n = jnp.where(valid, bgh_n, bgh_buf[wsl])
+            gsh_n = jnp.where(valid, gsh_n, gsh_buf[wsl])
+            bgh_buf[wsl] = bgh_n
+            gsh_buf[wsl] = gsh_n
 
-        lastrow_out[pl.ds(d, 1), :] = jnp.sum(
-            jnp.where(ii == last_sel, sw_new, zero), axis=0, keepdims=True
-        )
-        altcol_out[pl.ds(d, 1), :] = jnp.sum(
-            jnp.where((d - ii) == altc_sel, sw_new, zero), axis=0, keepdims=True
-        )
+            step_down = bgv_n
+            step_right = bgh_n
+            use_diag = jnp.logical_and(step_diag >= step_down, step_diag >= step_right)
+            use_right = jnp.logical_and(jnp.logical_not(use_diag), step_right >= step_down)
+            val = jnp.where(use_diag, step_diag, jnp.where(use_right, step_right, step_down))
+            sw_new = jnp.maximum(MATRIX_MIN_CUTOFF, val)
+            btr = jnp.where(use_diag, 0, jnp.where(use_right, -gsh_n, gsv_n))
 
-    def group(g, _):
-        d0 = g * DMA_GROUP
+            sw_buf[cur, wsl] = sw_new
+            bgv_buf[cur, wsl] = bgv_n
+            gsv_buf[cur, wsl] = gsv_n
 
-        # the previous group's DMA must have drained before restaging
-        @pl.when(g > 0)
-        def _():
+            # stage btrack (int16) at a static group offset; rows outside
+            # the window keep stale values — the walker never reads them
+            btr_stage[off, wsl] = btr.astype(jnp.int16)
+
+            lastrow_out[pl.ds(d, 1), :] = jnp.sum(
+                jnp.where(iiw == last_sel_w, sw_new, zero_w), axis=0, keepdims=True
+            )
+            altcol_out[pl.ds(d, 1), :] = jnp.sum(
+                jnp.where((d - iiw) == altc_sel_w, sw_new, zero_w),
+                axis=0, keepdims=True,
+            )
+
+        def group(g, _):
+            d0 = g * DMA_GROUP
+
+            # the previous group's DMA must have drained before restaging
+            @pl.when(g > 0)
+            def _():
+                pltpu.make_async_copy(
+                    btr_stage,
+                    btr_out.at[blk, pl.ds(d0 - DMA_GROUP, DMA_GROUP)],
+                    dma_sems.at[0],
+                ).wait()
+
+            for off in range(DMA_GROUP):  # static unroll: static slots
+                step(d0 + off, off % 2, (off + 1) % 2, off)
+
             pltpu.make_async_copy(
-                btr_stage,
-                btr_out.at[blk, pl.ds(d0 - DMA_GROUP, DMA_GROUP)],
-                dma_sems.at[0],
-            ).wait()
+                btr_stage, btr_out.at[blk, pl.ds(d0, DMA_GROUP)], dma_sems.at[0]
+            ).start()
+            return 0
 
-        for off in range(DMA_GROUP):  # static unroll: static slots/offsets
-            step(d0 + off, off % 2, (off + 1) % 2, off)
-
-        pltpu.make_async_copy(
-            btr_stage, btr_out.at[blk, pl.ds(d0, DMA_GROUP)], dma_sems.at[0]
-        ).start()
-        return 0
+        return group
 
     nd = nd_ref[blk]
-    jax.lax.fori_loop(0, nd // DMA_GROUP, group, 0)
+    nv = rows // 8
+    # grow milestones in diagonals, aligned to the DMA group size
+    gstep = -(-((rows + 3) // 4) // DMA_GROUP) * DMA_GROUP
+    milestones = []
+    m = gstep
+    while m < rows:
+        milestones.append(m)
+        m += gstep
+    milestones.append(rows)
+    prev = 0
+    for mk in milestones:
+        w_rows = min(rows, ((mk + 7) // 8) * 8)
+        grp = make_step(0, w_rows, boundary=True)
+        jax.lax.fori_loop(prev // DMA_GROUP, mk // DMA_GROUP, grp, 0)
+        prev = mk
+
+    # steady + drain (windows [rows - 8w, rows))
+    drain_vregs = sorted(
+        { (nv * k) // 4 for k in (3, 2, 1) } & set(range(1, nv)), reverse=True
+    )
+    starts = [
+        jnp.maximum(
+            jnp.int32(rows),
+            ((nd - 8 * w - 1 + DMA_GROUP - 1) // DMA_GROUP) * DMA_GROUP,
+        )
+        for w in drain_vregs
+    ]
+    bounds = [jnp.int32(rows)] + starts + [nd]
+    widths = [nv] + drain_vregs
+    for k, w in enumerate(widths):
+        grp = make_step(rows - 8 * w, 8 * w, boundary=False)
+        lo_b = bounds[k] // DMA_GROUP
+        hi_b = jnp.maximum(lo_b, bounds[k + 1] // DMA_GROUP)
+        jax.lax.fori_loop(lo_b, hi_b, grp, 0)
+
     pltpu.make_async_copy(
         btr_stage,
         btr_out.at[blk, pl.ds(nd - DMA_GROUP, DMA_GROUP)],
@@ -215,6 +302,8 @@ def sw_fill_pallas(
     n_diag = alt_ext.shape[0]
     if bsz % LANES:
         raise ValueError(f"batch {bsz} must be a multiple of {LANES}")
+    if rows % 8:
+        raise ValueError(f"rows {rows} must be a multiple of 8")
     indel_init = strategy in (OVERHANG_INDEL, OVERHANG_LEADING_INDEL)
     nblk = bsz // LANES
     if block_diags is None:
@@ -295,7 +384,9 @@ def sw_align_batch_pallas(
         alt_ext[: len(a), k] = a
         reflen[k] = len(r)
         altlen[k] = len(a)
-    nd_need = (reflen + altlen - 1).reshape(-1, LANES).max(axis=1)
+    # rows + max(altlen): the kernel derives its drain-phase row windows
+    # from nd - rows, so nd must bound the ALT length, not just rl+al
+    nd_need = rows + altlen.reshape(-1, LANES).max(axis=1)
     block_diags = np.minimum(
         (nd_need + DMA_GROUP - 1) // DMA_GROUP * DMA_GROUP, n_diag
     ).astype(np.int32)
