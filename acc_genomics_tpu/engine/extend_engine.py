@@ -34,10 +34,18 @@ class ExtendEngine:
         config: ExtendConfig = ExtendConfig(),
         device: Optional[jax.Device] = None,
         mesh=None,
+        use_pallas: Optional[bool] = None,
     ):
         self.config = config
         self.device = device or jax.devices()[0]
         self.mesh = mesh
+        # the Pallas kernel is single-device; the mesh DP path wraps the
+        # portable XLA impl in shard_map
+        self.use_pallas = (
+            (self.device.platform == "tpu" and mesh is None)
+            if use_pallas is None
+            else use_pallas
+        )
         self._data_size = int(mesh.shape["data"]) if mesh is not None else 1
         self.q_buckets = (32, 64, 128, 256)
         self.t_buckets = (64, 128, 256, 512, 1024)
@@ -59,7 +67,12 @@ class ExtendEngine:
         pending = []
         with Timer("extend.device"):
             for (bq, bt), idxs in groups.items():
-                bsz = max(8, self._data_size)
+                if self.use_pallas:
+                    # tlen-sorted packing -> tight per-block trip counts
+                    idxs = sorted(idxs, key=lambda k: -len(targets[k]))
+                    bsz = 128
+                else:
+                    bsz = max(8, self._data_size)
                 while bsz < len(idxs):  # x4 ladder: very few cached shapes
                     bsz *= 4
                 if bsz % self._data_size:
@@ -88,6 +101,18 @@ class ExtendEngine:
                     )
 
                     res = sw_extend_dp(self.mesh, *eargs)
+                elif self.use_pallas:
+                    from acc_genomics_tpu.ops.extend.kernel import (
+                        LANES,
+                        sw_extend_pallas,
+                    )
+
+                    block_rows = np.maximum(
+                        tlen.reshape(-1, LANES).max(axis=1), 1
+                    ).astype(np.int32)
+                    res = sw_extend_pallas(
+                        *eargs, jnp.asarray(block_rows)
+                    )
                 else:
                     res = sw_extend_batch(*eargs)
                 pending.append((idxs, res))
