@@ -372,8 +372,10 @@ def sw_align_batch_pallas(
     n_diag = rows + cols
     grp = 2 * DMA_GROUP
     n_diag = ((n_diag + grp - 1) // grp) * grp
-    ref_tm = np.full((rows, bsz), 255, np.int32)
-    alt_ext = np.full((n_diag, bsz), 255, np.int32)
+    # uint8 on the wire (codes <= 255): the device-side astype inside the
+    # jit is free, and the H2D upload shrinks 4x
+    ref_tm = np.full((rows, bsz), 255, np.uint8)
+    alt_ext = np.full((n_diag, bsz), 255, np.uint8)
     reflen = np.ones(bsz, np.int32)
     altlen = np.ones(bsz, np.int32)
     for k, j in enumerate(perm):
@@ -395,7 +397,7 @@ def sw_align_batch_pallas(
     if mesh is not None:
         from acc_genomics_tpu.parallel.sharded_kernels import sw_device_dp
 
-        elem_len, elem_st, en, offset = sw_device_dp(
+        packed = sw_device_dp(
             mesh, jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d,
             strategy, jnp.asarray(block_diags),
         )
@@ -404,10 +406,10 @@ def sw_align_batch_pallas(
             jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d, strategy,
             block_diags=jnp.asarray(block_diags), interpret=interpret,
         )
-        elem_len, elem_st, en, offset = sw_walk_device(
+        packed = sw_walk_device(
             btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
         )
-    sorted_out, overflow = decode_elements(elem_len, elem_st, en, offset, n_real)
+    sorted_out, overflow = decode_elements(packed, n_real)
     out = [None] * n_real
     for k, j in enumerate(perm):
         out[j] = sorted_out[k]

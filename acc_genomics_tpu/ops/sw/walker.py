@@ -42,6 +42,7 @@ I32 = jnp.int32
 LANES = 128
 LOW = jnp.int32(-(1 << 30))
 MAX_ELEMS = 192  # element-buffer cap; overflow lanes rerun on host
+SHIP_ELEMS = 48  # elements shipped to the host; en > SHIP -> host rerun
 
 
 def _write_elem(buf_len, buf_st, slot, ln, stt, mask):
@@ -58,9 +59,10 @@ def sw_walk_device(btr, lastrow_diag, altcol_diag, reflen, altlen, strategy: int
     """Batched backtrack from the diag-major fill outputs.
 
     btr: (B//128, D, R, 128) int16; lastrow_diag/altcol_diag: (D, B) i32;
-    reflen/altlen: (B,).  Returns (elem_len (E,B), elem_state (E,B),
-    elem_n (B,), offset (B,)) with elements in WALK order (reverse of
-    CIGAR order; host reverses while decoding).
+    reflen/altlen: (B,).  Returns one packed int16 array
+    (2*MAX_ELEMS+2, B): element lengths, element states, count, offset —
+    elements in WALK order (reverse of CIGAR order; host reverses while
+    decoding).
     """
     nblk, n_diag, rows, lanes = btr.shape
     B = lastrow_diag.shape[1]
@@ -193,20 +195,30 @@ def sw_walk_device(btr, lastrow_diag, altcol_diag, reflen, altlen, strategy: int
         en = jnp.where(dmask | imask, en + 1, en)
         offset = jnp.zeros(B, I32)
 
-    # element lengths fit int16 (<= MAX_SEQ 1536), states fit int8: shrink
-    # the only D2H payload 3x
-    return elem_len.astype(jnp.int16), elem_st.astype(jnp.int8), en, offset
+    # one packed int16 payload, tiny on the wire: element length (<= 3072,
+    # 12 bits) and state (3 bits) share an int16 (len | st << 12); only the
+    # first SHIP_ELEMS elements ship (real CIGARs have ~5-10; longer ones
+    # rerun on the host like buffer overflows).  A single array means a
+    # single D2H transfer — the dev tunnel charges ~25 ms per fetch plus
+    # ~90 us/KB, so this is the difference between 100 ms and 30 ms e2e.
+    lens = jnp.concatenate([elem_len[:SHIP_ELEMS], en[None, :], offset[None, :]])
+    states = jnp.concatenate(
+        [elem_st[:SHIP_ELEMS], jnp.zeros((2, B), I32)]
+    )
+    return (lens | (states << 12)).astype(jnp.int16)
 
 
-def decode_elements(elem_len, elem_st, en, offset, n_real):
-    """Walk-order element buffers -> [(cigar, offset)] in CIGAR order.
-    Returns (results, overflow mask); overflow pairs need a host rerun."""
-    elem_len = np.asarray(elem_len)
-    elem_st = np.asarray(elem_st)
-    en = np.asarray(en)
-    offset = np.asarray(offset)
+def decode_elements(packed, n_real):
+    """Packed walk-order element buffer (SHIP_ELEMS+2, B) -> [(cigar,
+    offset)] in CIGAR order.  Returns (results, overflow mask); overflow
+    pairs need a host rerun."""
+    packed = np.asarray(packed)
+    elem_len = packed[:SHIP_ELEMS] & 0x0FFF
+    elem_st = (packed[:SHIP_ELEMS] >> 12) & 0x7
+    en = packed[SHIP_ELEMS]
+    offset = packed[SHIP_ELEMS + 1]
     out = []
-    overflow = en > MAX_ELEMS
+    overflow = en > SHIP_ELEMS
     for k in range(n_real):
         if overflow[k]:
             out.append(None)

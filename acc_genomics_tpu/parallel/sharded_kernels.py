@@ -59,7 +59,7 @@ def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
 
 def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, block_diags):
     """Full SW device path (Pallas fill + device walker) sharded over
-    "data"; returns the walker's element buffers, lane-sharded."""
+    "data"; returns the walker's packed element buffer, lane-sharded."""
     from acc_genomics_tpu.ops.sw.kernel import sw_fill_pallas
     from acc_genomics_tpu.ops.sw.walker import sw_walk_device
 
@@ -71,7 +71,7 @@ def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, blo
         local,
         mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data"), P("data"), P("data"), P("data")),
-        out_specs=(P(None, "data"), P(None, "data"), P("data"), P("data")),
+        out_specs=P(None, "data"),
         check_vma=False,  # pallas outputs carry no vma annotation
     )
     return fn(ref_tm, alt_ext, reflen, altlen, block_diags)
