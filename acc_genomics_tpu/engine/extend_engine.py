@@ -21,6 +21,9 @@ from acc_genomics_tpu.ops.extend.reference import PEN_CLIP, W_IN
 from acc_genomics_tpu.utils.timer import Timer
 
 
+_KEYS = ("score", "qle", "tle", "gtle", "gscore", "max_off", "w")
+
+
 def _round_up(n, buckets):
     for b in buckets:
         if n <= b:
@@ -77,8 +80,9 @@ class ExtendEngine:
                     bsz *= 4
                 if bsz % self._data_size:
                     bsz += self._data_size - bsz % self._data_size
-                q_tm = np.full((bq, bsz), 4, np.int32)
-                t_tm = np.full((bt, bsz), 4, np.int32)
+                # uint8 on the wire (codes <= 4); device-side casts are free
+                q_tm = np.full((bq, bsz), 4, np.uint8)
+                t_tm = np.full((bt, bsz), 4, np.uint8)
                 qlen = np.zeros(bsz, np.int32)
                 tlen = np.zeros(bsz, np.int32)
                 h0 = np.zeros(bsz, np.int32)
@@ -115,12 +119,15 @@ class ExtendEngine:
                     )
                 else:
                     res = sw_extend_batch(*eargs)
-                pending.append((idxs, res))
+                # one D2H leaf per group: per-leaf fetches each pay a
+                # ~25 ms round trip on the dev tunnel
+                packed = jnp.stack([res[k] for k in _KEYS])
+                pending.append((idxs, packed))
             pending = jax.device_get(pending)
-        for idxs, res in pending:
+        for idxs, packed in pending:
             ia = np.asarray(idxs, np.int64)
-            for key in out:
-                out[key][ia] = np.asarray(res[key])[: len(idxs)]
+            for r, key in enumerate(_KEYS):
+                out[key][ia] = np.asarray(packed[r])[: len(idxs)]
         return out
 
     def extend_seeds(self, seeds: Sequence[dict]) -> List[dict]:
