@@ -55,7 +55,11 @@ class SmemConfig:
     min_seed_len: int = 19
     max_intv_alloc: int = 256  # per-read output interval cap
     batch_size: int = 1024
-    seq_length: int = 256  # per-read sequence slot
+    seq_length: int = 256  # per-read sequence slot (largest bucket)
+    # per-read length buckets: the machine's curr/back interval buffers
+    # are (bucket+1, B), so short reads in a tight bucket halve the
+    # masked-buffer work per iteration
+    read_buckets: Tuple[int, ...] = (64, 128, 256)
     occ_interval: int = 64  # occ checkpoint spacing in the TPU index layout
     # passes of mem_collect_intv (split_len/split_width/max_mem_intv)
     split_len: int = 28

@@ -61,14 +61,25 @@ class SmemEngine:
         """3-pass SMEM intervals per read."""
         self.stats["reads"] += len(reads)
         seq_len = self.config.seq_length
+        buckets = tuple(
+            b for b in getattr(self.config, "read_buckets", (seq_len,))
+            if b <= seq_len
+        ) or (seq_len,)
         out: List = [None] * len(reads)
-        # route oversized reads straight to host
-        dev_idx = [k for k, r in enumerate(reads) if len(r) <= seq_len]
+        # route oversized reads straight to host; bucket the rest by
+        # length (the machine's interval buffers are (bucket+1, B), so a
+        # tight bucket halves the masked-buffer work for short reads)
         host_idx = [k for k, r in enumerate(reads) if len(r) > seq_len]
-        if dev_idx:
+        groups = {}
+        for k, r in enumerate(reads):
+            if len(r) > seq_len:
+                continue
+            b = next(b for b in buckets if len(r) <= b)
+            groups.setdefault(b, []).append(k)
+        for b, dev_idx in groups.items():
             with Timer("smem.device"):
                 res, overflow = smem_batch_machine(
-                    self.idx, [reads[k] for k in dev_idx], seq_len=seq_len,
+                    self.idx, [reads[k] for k in dev_idx], seq_len=b,
                     mesh=self.mesh,
                 )
             self.stats["probe_iters"] += getattr(

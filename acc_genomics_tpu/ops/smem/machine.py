@@ -154,6 +154,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
     """
     L, B = seq_tm.shape
     LB = L + 1
+    seq_tm = seq_tm.astype(I32)  # hosts upload uint8; the cast is free
     if max_iters is None:
         # total probes+transitions per read is bounded by a small multiple
         # of its length per pass; 64x is a generous safety cap
@@ -518,7 +519,7 @@ def smem_batch_machine(
     dsz = int(mesh.shape["data"]) if mesh is not None else 1
     if bsz % dsz:
         bsz += dsz - bsz % dsz  # inert zero-length lanes
-    seq_tm = np.full((seq_len, bsz), 4, np.int32)
+    seq_tm = np.full((seq_len, bsz), 4, np.uint8)
     lens = np.zeros(bsz, np.int32)
     for k, r in enumerate(reads):
         if len(r) > seq_len:
@@ -536,12 +537,13 @@ def smem_batch_machine(
         mem, mem_n, iters = _collect_jit(
             idx, jnp.asarray(seq_tm), jnp.asarray(lens)
         )
-    mem_n = np.asarray(mem_n)
-    smem_batch_machine.last_iters = int(np.asarray(iters))
-    # fetch only the used row prefix of the interval buffers (the buffers
-    # are sized for the overflow cap, but typical reads fill a few rows)
+    # two D2H round trips total: counts first (to size the prefix), then
+    # the five interval fields stacked into ONE array (per-leaf fetches
+    # each pay a ~25 ms round trip on the dev tunnel)
+    mem_n, iters = jax.device_get((mem_n, jnp.asarray(iters)))
+    smem_batch_machine.last_iters = int(iters)
     used = int(min(MAX_OUT, mem_n.max(initial=0)))
-    mem = jax.device_get(tuple(m[:used] for m in mem))
+    mem = np.asarray(jnp.stack([m[:used] for m in mem]))
     out = []
     overflow = (mem_n > MAX_OUT)[:n_in]
     for k in range(n_in):
