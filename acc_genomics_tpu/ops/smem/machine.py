@@ -351,12 +351,8 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         upd("iks", is_bst, c_s)
         upd("ikst", is_bst, s["x"])
         upd("iken", is_bst, c_end)
-        # backenlarge: back = [ik]; k = x-1
-        n["bk0"] = _write_row(n["bk0"], zb, c_x0, bst_back)
-        n["bk1"] = _write_row(n["bk1"], zb, c_x1, bst_back)
-        n["bk2"] = _write_row(n["bk2"], zb, c_s, bst_back)
-        n["bk3"] = _write_row(n["bk3"], zb, s["x"], bst_back)
-        n["bk4"] = _write_row(n["bk4"], zb, c_end, bst_back)
+        # backenlarge: back = [ik]; k = x-1  (the bk write itself is
+        # merged with S_BACK's below — exclusive states)
         upd("back_n", bst_back, jnp.ones_like(zb))
         upd("k", bst_back, s["x"] - 1)
         upd("st", bst_back, jnp.full_like(st, S_BACK))
@@ -372,13 +368,16 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         upd("ik1", bck_ok, oc1b)
         upd("iks", bck_ok, ocsb)
         upd("ikst", bck_ok, s["k"])
-        # iken unchanged (= curr[ic].end)
+        # iken unchanged (= curr[ic].end); merged bk write (one masked
+        # write for both the BSTART seed row and BACK's append)
         slot_b = jnp.minimum(s["back_n"], LB - 1)
-        n["bk0"] = _write_row(n["bk0"], slot_b, oc0b, bck_ok)
-        n["bk1"] = _write_row(n["bk1"], slot_b, oc1b, bck_ok)
-        n["bk2"] = _write_row(n["bk2"], slot_b, ocsb, bck_ok)
-        n["bk3"] = _write_row(n["bk3"], slot_b, s["k"], bck_ok)
-        n["bk4"] = _write_row(n["bk4"], slot_b, s["iken"], bck_ok)
+        bk_mask = bst_back | bck_ok
+        bk_row = jnp.where(bst_back, zb, slot_b)
+        n["bk0"] = _write_row(n["bk0"], bk_row, jnp.where(bst_back, c_x0, oc0b), bk_mask)
+        n["bk1"] = _write_row(n["bk1"], bk_row, jnp.where(bst_back, c_x1, oc1b), bk_mask)
+        n["bk2"] = _write_row(n["bk2"], bk_row, jnp.where(bst_back, c_s, ocsb), bk_mask)
+        n["bk3"] = _write_row(n["bk3"], bk_row, jnp.where(bst_back, s["x"], s["k"]), bk_mask)
+        n["bk4"] = _write_row(n["bk4"], bk_row, jnp.where(bst_back, c_end, s["iken"]), bk_mask)
         upd("back_n", bck_ok, s["back_n"] + 1)
         upd("k", bck_ok, s["k"] - 1)
         upd("st", bck_stop, jnp.full_like(st, S_BACK_POST))
@@ -389,7 +388,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, ln))
         t_len = s["t4"] - s["t3"]
         bpo_push = is_bpo & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
-        push_mem(bpo_push, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+        # (mem pushes from all states merge into one masked write below)
         # temp = ik (all back-post paths)
         for tk_, ik_ in (("t0", "ik0"), ("t1", "ik1"), ("t2", "iks"), ("t3", "ikst"), ("t4", "iken")):
             upd(tk_, is_bpo, s[ik_])
@@ -428,7 +427,6 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         upd("ikst", at_stop, nw_st)
         upd("iken", at_stop, s["stop"])
         fem_push = at_stop & (nw_st > s["t3"]) & (t_len >= MIN_SEED_LEN)
-        push_mem(fem_push, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
         upd("t0", at_stop, oc0f)
         upd("t1", at_stop, oc1f)
         upd("t2", at_stop, ocsf)
@@ -443,7 +441,6 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         skp_live = is_skp & ~skp_done
         # final push of the trailing temp, then exit to the driver
         fin_push = skp_done & (s["t4"] - s["t3"] >= MIN_SEED_LEN)
-        push_mem(fin_push, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
         back_p1 = skp_done & (s["mode"] == 1)
         back_p2 = skp_done & (s["mode"] == 2)
         upd("x", back_p1, s["ret"])
@@ -476,7 +473,6 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         p3_base = is_p3e & (s["i"] < ln) & rd_is_base
         hit = p3_base & (ocsf < MAX_MEM_INTV) & ((s["i"] - s["x"]) >= MIN_SEED_LEN)
         p3_go = p3_base & ~hit
-        push_mem(hit & (ocsf > 0), oc0f, oc1f, ocsf, s["x"], s["i"] + 1)
         upd("x", p3_out, ln)
         upd("x", p3_n | hit, s["i"] + 1)
         upd("st", p3_out | p3_n | hit, jnp.full_like(st, S_P3_NEXTX))
@@ -484,6 +480,20 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         upd("ik1", p3_go, oc1f)
         upd("iks", p3_go, ocsf)
         upd("i", p3_go, s["i"] + 1)
+
+        # ---- merged mem push -------------------------------------------------
+        # every state's push is mutually exclusive (one state per lane per
+        # iteration), so the four sites collapse into ONE masked write
+        # over the (MAX_OUT, B) buffers — the dominant per-iteration cost
+        # — with the values chosen by cheap (B,) selects
+        push_t = bpo_push | fem_push | fin_push  # all push the temp regs
+        push_p3 = hit & (ocsf > 0)
+        v0 = jnp.where(push_p3, oc0f, s["t0"])
+        v1 = jnp.where(push_p3, oc1f, s["t1"])
+        v2 = jnp.where(push_p3, ocsf, s["t2"])
+        v3 = jnp.where(push_p3, s["x"], s["t3"])
+        v4 = jnp.where(push_p3, s["i"] + 1, s["t4"])
+        push_mem(push_t | push_p3, v0, v1, v2, v3, v4)
 
         return n
 
