@@ -497,7 +497,19 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
 
         return n
 
-    final = jax.lax.while_loop(cond, body, init)
+    # unrolled body: the (rows, B) interval buffers live in the while
+    # carry, i.e. HBM — each iteration pays a full read+write of ~20 MB.
+    # Running UNROLL machine steps per iteration amortizes that carry
+    # traffic; the masked updates between sub-steps fuse on chip.  DONE
+    # lanes no-op, so overshooting by < UNROLL steps is harmless.
+    UNROLL = 4
+
+    def body_u(s):
+        for _ in range(UNROLL):
+            s = body(s)
+        return s
+
+    final = jax.lax.while_loop(cond, body_u, init)
     # lanes still running when the safety cap fires are reported as
     # "unfinished" by forcing their count past the overflow cap — the
     # engine reruns them on the host (graceful-degradation contract)
