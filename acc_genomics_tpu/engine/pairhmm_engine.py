@@ -29,6 +29,7 @@ from acc_genomics_tpu.engine.bucketing import plan_buckets
 from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
 from acc_genomics_tpu.ops.pairhmm.jax_impl import pairhmm_forward
 from acc_genomics_tpu.ops.pairhmm.kernel import (
+    pairhmm_forward_pallas_from_quals,
     block_diag_counts,
     pairhmm_forward_pallas,
 )
@@ -60,6 +61,9 @@ class PairHMMEngine:
         # round-trip is not worth it (worthFPGA analog)
         self.min_device_cells = 2_000_000
         self.stats = {"pairs": 0, "recomputed": 0, "cells": 0, "device_calls": 0}
+        # device-resident lookup tables for the byte-plane upload path
+        # (uploaded once; coefficient planes are computed on device)
+        self._tables = None
 
     # -- core ------------------------------------------------------------
 
@@ -71,6 +75,42 @@ class PairHMMEngine:
         boost-threaded double-buffered host pipeline
         (bwa-sw/intel/aocl/src/main_cl.cpp KernelWorker).
         """
+        if self.use_pallas and self.mesh is None:
+            # byte-plane path: upload uint8 quals/codes (~1/8 the bytes)
+            # and compute the coefficient planes on device
+            from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_quals
+
+            pack = pack_pairhmm_quals(
+                tcs, rows=rows, cols=cols, sort_by_haplen=True,
+            )
+            self.stats["cells"] += pack.cells
+            self.stats["device_calls"] += 1
+            if self._tables is None:
+                self._tables = (
+                    jax.device_put(
+                        jnp.asarray(self.ctx32.ph2pr.astype(np.float32)),
+                        self.device,
+                    ),
+                    jax.device_put(
+                        jnp.asarray(
+                            self.ctx32.match_to_match.astype(np.float32)
+                        ),
+                        self.device,
+                    ),
+                )
+            bd = jax.device_put(
+                np.asarray(block_diag_counts(pack)), self.device
+            )
+            res = pairhmm_forward_pallas_from_quals(
+                jnp.asarray(pack.q), jnp.asarray(pack.i),
+                jnp.asarray(pack.d), jnp.asarray(pack.c),
+                jnp.asarray(pack.rs), jnp.asarray(pack.hap_ext),
+                jnp.asarray(pack.rslen), jnp.asarray(pack.haplen),
+                *self._tables,
+                np.float32(self.ctx32.initial_constant),
+                block_diags=bd,
+            )
+            return pack, res
         # sorted packing keeps per-128-lane-block diagonal bounds tight on
         # the Pallas path (the reference's sortReads, FalconPairHMM.cpp:268)
         pack = pack_pairhmm_batch(

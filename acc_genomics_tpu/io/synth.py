@@ -25,26 +25,66 @@ def gen_pairhmm_input(
     max_read_len: int = 191,
     max_hap_len: int = 1024,
     min_read_len: int | None = None,
+    derived: bool = False,
+    error_rate: float = 0.01,
 ):
     """Returns (reads, haps): reads is a list of dicts with rs/q/i/d/c arrays,
-    haps a list of base-code arrays."""
+    haps a list of base-code arrays.
+
+    derived=False generates independent random reads and haps like the
+    reference's GenInputs (pairhmm/xlnx/pairhmm_test.cpp:21-82) — nearly
+    every pair then underflows fp32 (P(read|hap) ~ 4^-len), which stresses
+    the fp64 recompute path.  derived=True samples each read from a random
+    haplotype window with ~error_rate mutations — the realistic GATK shape
+    where recompute is the exception.
+    """
+    haps = []
+    if derived:
+        # GATK haplotypes are assembled variants of ONE locus: generate a
+        # base sequence and emit haps as SNP/indel variants of it, so every
+        # (read, hap) pair aligns (recompute stays the exception)
+        base_len = int(rng.integers(max(2, max_hap_len // 2), max_hap_len + 1))
+        base = rng.integers(0, 4, base_len).astype(np.uint8)
+        for _ in range(n_haps):
+            h = base.copy()
+            snp = rng.random(len(h)) < 0.005
+            h[snp] = (h[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+            if rng.random() < 0.5 and len(h) > 8:  # one short indel variant
+                pos = int(rng.integers(1, len(h) - 4))
+                if rng.random() < 0.5:
+                    h = np.delete(h, slice(pos, pos + int(rng.integers(1, 4))))
+                else:
+                    ins = rng.integers(0, 4, int(rng.integers(1, 4))).astype(np.uint8)
+                    h = np.insert(h, pos, ins)
+            haps.append(h[:max_hap_len].astype(np.uint8))
+    else:
+        for _ in range(n_haps):
+            ln = int(rng.integers(max(1, max_hap_len // 4), max_hap_len + 1))
+            haps.append(rng.integers(0, 4, ln).astype(np.uint8))
     reads = []
     lo_r = min_read_len if min_read_len is not None else max(1, max_read_len // 4)
     for _ in range(n_reads):
         ln = int(rng.integers(lo_r, max_read_len + 1))
+        if derived:
+            h = haps[int(rng.integers(0, n_haps))]
+            if len(h) >= ln:
+                off = int(rng.integers(0, len(h) - ln + 1))
+                rs = h[off : off + ln].copy()
+            else:
+                rs = np.resize(h, ln).copy()
+            err = rng.random(ln) < error_rate
+            rs[err] = (rs[err] + rng.integers(1, 4, int(err.sum()))) % 4
+        else:
+            rs = rng.integers(0, 4, ln).astype(np.uint8)
         reads.append(
             dict(
-                rs=rng.integers(0, 4, ln).astype(np.uint8),
+                rs=rs,
                 q=np.clip(rng.normal(30.0, 5.0, ln), 6, 127).astype(np.uint8),
                 i=np.clip(rng.normal(40.0, 1.0, ln), 1, 127).astype(np.uint8),
                 d=np.clip(rng.normal(40.0, 1.0, ln), 1, 127).astype(np.uint8),
                 c=np.full(ln, 10, dtype=np.uint8),
             )
         )
-    haps = []
-    for _ in range(n_haps):
-        ln = int(rng.integers(max(1, max_hap_len // 4), max_hap_len + 1))
-        haps.append(rng.integers(0, 4, ln).astype(np.uint8))
     return reads, haps
 
 

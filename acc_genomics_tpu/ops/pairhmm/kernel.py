@@ -347,3 +347,61 @@ def forward_from_pack_pallas(pack: PackedPairHMMBatch, interpret: bool = False):
         block_diags=bd,
         interpret=interpret,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pairhmm_forward_pallas_from_quals(
+    q, i, d, c, rs, hap_ext, rslen, haplen,
+    ph2pr, m2m, initial_constant,
+    block_diags=None,
+    interpret: bool = False,
+):
+    """Forward pass from raw qual byte planes (PackedPairHMMQuals).
+
+    The coefficient planes are computed ON DEVICE from the uint8 quals —
+    ctx.transitions/emissions as (R, B) gathers from the 128-entry ph2pr
+    and triangular matchToMatch tables (context.py:84-118, mirroring
+    baseline_impl.cpp:55-90) — so the host uploads ~1/8 the bytes of the
+    fp32 coefficient packing.  Absorbing rows (row >= rslen) take the
+    collector values (p_mx = p_xx = 1, everything else 0).
+    """
+    rows, bsz = q.shape
+    f32 = jnp.float32
+    qi = q.astype(jnp.int32) & 127
+    ii = i.astype(jnp.int32) & 127
+    di = d.astype(jnp.int32) & 127
+    ci = c.astype(jnp.int32) & 127
+    pe_q = jnp.take(ph2pr, qi)
+    pe_i = jnp.take(ph2pr, ii)
+    pe_d = jnp.take(ph2pr, di)
+    pe_c = jnp.take(ph2pr, ci)
+    lo = jnp.minimum(ii, di)
+    hi = jnp.maximum(ii, di)
+    p_mm = jnp.take(m2m, ((hi * (hi + 1)) >> 1) + lo)
+    one = jnp.float32(1.0)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, bsz), 0)
+        < rslen[None, :].astype(jnp.int32)
+    )
+    zf = jnp.zeros((rows, bsz), f32)
+    coef = [
+        jnp.where(valid, p_mm, 0.0),
+        jnp.where(valid, one - pe_c, 0.0),
+        jnp.where(valid, pe_i, 1.0),
+        jnp.where(valid, pe_c, 1.0),
+        jnp.where(valid, pe_d, 0.0),
+        jnp.where(valid, pe_c, 0.0),
+        jnp.where(valid, one - pe_q, 0.0),
+        jnp.where(valid, pe_q / 3.0, 0.0) + zf,
+    ]
+    y0 = jnp.where(
+        haplen > 0, initial_constant / haplen.astype(f32), 0.0
+    ).astype(f32)
+    return pairhmm_forward_pallas(
+        *coef,
+        jnp.where(valid, rs.astype(jnp.int32), 0),
+        hap_ext.astype(jnp.int32),
+        y0,
+        block_diags=block_diags,
+        interpret=interpret,
+    )

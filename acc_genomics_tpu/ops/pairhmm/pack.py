@@ -174,3 +174,92 @@ def pack_pairhmm_batch(
         p_mm, p_gapm, p_mx, p_xx, p_my, p_yy,
         em_match, em_mis, rs, hap_ext, y0, rslen, haplen, n_real, perm,
     )
+
+
+@dataclasses.dataclass
+class PackedPairHMMQuals:
+    """Byte-plane packing for device-side coefficient computation.
+
+    The 8 fp32 coefficient planes of PackedPairHMMBatch are pure
+    per-base table lookups (ctx.transitions/emissions), so the device
+    can compute them from the raw qual bytes — uploading 5 uint8 planes
+    (~1/8 the bytes of the fp32 coefficients) and gathering from the
+    128-entry ph2pr / triangular matchToMatch tables in HBM.
+    """
+
+    q: np.ndarray  # (R, B) uint8
+    i: np.ndarray
+    d: np.ndarray
+    c: np.ndarray
+    rs: np.ndarray  # (R, B) uint8 base codes
+    hap_ext: np.ndarray  # (R + H, B) uint8
+    rslen: np.ndarray  # (B,) int32
+    haplen: np.ndarray  # (B,) int32
+    n_real: int
+    perm: np.ndarray = None
+
+    @property
+    def batch(self) -> int:
+        return self.rs.shape[1]
+
+    @property
+    def rows(self) -> int:
+        return self.rs.shape[0]
+
+    @property
+    def cells(self) -> int:
+        return int((self.rslen.astype(np.int64) * self.haplen).sum())
+
+    def unsort(self, results: np.ndarray) -> np.ndarray:
+        results = np.asarray(results)
+        if self.perm is None:
+            return results[: self.n_real]
+        out = np.empty(self.n_real, results.dtype)
+        out[self.perm] = results[: self.n_real]
+        return out
+
+
+def pack_pairhmm_quals(
+    testcases: Sequence[dict],
+    rows: int,
+    cols: int,
+    pad_lanes: bool = True,
+    sort_by_haplen: bool = False,
+    lane_multiple: int = LANES,
+) -> PackedPairHMMQuals:
+    """Byte-plane packing (no host coefficient math; see PackedPairHMMQuals)."""
+    perm = None
+    if sort_by_haplen and testcases:
+        perm = np.argsort([-len(t["hap"]) for t in testcases], kind="stable")
+        testcases = [testcases[j] for j in perm]
+    n_real = len(testcases)
+    b = n_real
+    if pad_lanes and b % lane_multiple:
+        b += lane_multiple - b % lane_multiple
+    shape = (rows, b)
+    q = np.zeros(shape, np.uint8)
+    i_ = np.zeros(shape, np.uint8)
+    d = np.zeros(shape, np.uint8)
+    c = np.zeros(shape, np.uint8)
+    rs = np.zeros(shape, np.uint8)
+    hap_ext = np.full((rows + cols, b), HAP_PAD, np.uint8)
+    rslen = np.zeros(b, np.int32)
+    haplen = np.zeros(b, np.int32)
+    for k, tc in enumerate(testcases):
+        r = len(tc["rs"])
+        h = len(tc["hap"])
+        if r >= rows:
+            raise ValueError(f"read length {r} needs bucket > {rows} rows")
+        if h > cols:
+            raise ValueError(f"hap length {h} exceeds bucket cols {cols}")
+        q[:r, k] = tc["q"]
+        i_[:r, k] = tc["i"]
+        d[:r, k] = tc["d"]
+        c[:r, k] = tc["c"]
+        rs[:r, k] = tc["rs"]
+        hap_ext[:h, k] = tc["hap"]
+        rslen[k] = r
+        haplen[k] = h
+    return PackedPairHMMQuals(
+        q, i_, d, c, rs, hap_ext, rslen, haplen, n_real, perm
+    )

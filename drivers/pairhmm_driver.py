@@ -25,6 +25,7 @@ from acc_genomics_tpu.utils.timer import Scoreboard
 
 
 def run_case(engine, reads, haps, golden=None, board=None, check_frac=1.0):
+    engine.pairhmm_matrix(reads, haps)  # warm the jit cache for this shape
     t0 = time.time()
     lik = engine.pairhmm_matrix(reads, haps)
     dt = time.time() - t0
@@ -49,6 +50,11 @@ def run_case(engine, reads, haps, golden=None, board=None, check_frac=1.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--syn", type=int, default=0, help="synthetic tests")
+    ap.add_argument(
+        "--independent", action="store_true",
+        help="independent random reads/haps (underflow-heavy, the "
+        "reference GenInputs shape) instead of hap-derived reads",
+    )
     ap.add_argument("--real", type=str, default="", help="corpus directory")
     ap.add_argument("--check-frac", type=float, default=0.25)
     args = ap.parse_args()
@@ -72,7 +78,9 @@ def main():
     else:
         rng = np.random.default_rng(0)
         for t in range(max(args.syn, 1)):
-            reads, haps = gen_pairhmm_input(rng, 16 * (t + 1), t + 1)
+            reads, haps = gen_pairhmm_input(
+                rng, 16 * (t + 1), t + 1, derived=not args.independent
+            )
             n_bad, worst, rate, dt = run_case(
                 engine, reads, haps, board=board, check_frac=args.check_frac
             )

@@ -82,3 +82,36 @@ def test_pallas_sorted_pack_block_diags(rng):
         ctx.log10_initial_constant
     )
     assert np.max(np.abs((got_logs - want_logs) / want_logs)) < 5e-3
+
+
+def test_pallas_from_quals_matches_oracle(rng):
+    # byte-plane upload path: device-side coefficient computation
+    import numpy as np
+    from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+    from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+    from acc_genomics_tpu.ops.pairhmm.kernel import (
+        block_diag_counts,
+        pairhmm_forward_pallas_from_quals,
+    )
+    from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_quals
+    from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
+
+    tcs = gen_pairhmm_pairs(rng, 24, max_read_len=46, max_hap_len=96)
+    pack = pack_pairhmm_quals(tcs, rows=48, cols=96, sort_by_haplen=True)
+    ctx = PairHMMContext(np.float32)
+    res = pairhmm_forward_pallas_from_quals(
+        pack.q, pack.i, pack.d, pack.c, pack.rs, pack.hap_ext,
+        pack.rslen, pack.haplen,
+        ctx.ph2pr.astype(np.float32),
+        ctx.match_to_match.astype(np.float32),
+        np.float32(ctx.initial_constant),
+        block_diags=block_diag_counts(pack),
+        interpret=True,
+    )
+    got = pack.unsort(np.asarray(res))
+    ic_log = np.log10(np.float64(ctx.initial_constant))
+    for k, t in enumerate(tcs):
+        want = pairhmm_loglik_oracle(t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"])
+        if got[k] > 0:  # fp32 path succeeded
+            gl = np.log10(np.float64(got[k])) - ic_log
+            assert abs(gl - want) / abs(want) < 5e-3, (k, gl, want)
