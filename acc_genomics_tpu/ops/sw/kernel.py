@@ -60,7 +60,8 @@ def _sw_diag_kernel(
     nd_ref,  # scalar prefetch: per-block diagonal count (multiple of DMA_GROUP)
     ref_ref, alt_ext_ref, reflen_ref, altlen_ref,
     btr_out, lastrow_out, altcol_out,
-    sw_buf, bgv_buf, gsv_buf, bgh_buf, gsh_buf, ad_buf, btr_stage, dma_sems,
+    sw_buf, bgv_buf, gsv_buf, bgh_buf, gsh_buf, ad_buf, btr_stage,
+    lr_stage, ac_stage, dma_sems,
     *, indel_init: bool,
 ):
     rows = ref_ref.shape[0]
@@ -210,10 +211,12 @@ def _sw_diag_kernel(
             # the window keep stale values — the walker never reads them
             btr_stage[off, wsl] = btr.astype(jnp.int16)
 
-            lastrow_out[pl.ds(d, 1), :] = jnp.sum(
+            # stage the start-cell scan rows at STATIC offsets; per-step
+            # dynamic single-row stores measured 42% of the whole kernel
+            lr_stage[pl.ds(off, 1), :] = jnp.sum(
                 jnp.where(iiw == last_sel_w, sw_new, zero_w), axis=0, keepdims=True
             )
-            altcol_out[pl.ds(d, 1), :] = jnp.sum(
+            ac_stage[pl.ds(off, 1), :] = jnp.sum(
                 jnp.where((d - iiw) == altc_sel_w, sw_new, zero_w),
                 axis=0, keepdims=True,
             )
@@ -236,6 +239,8 @@ def _sw_diag_kernel(
             pltpu.make_async_copy(
                 btr_stage, btr_out.at[blk, pl.ds(d0, DMA_GROUP)], dma_sems.at[0]
             ).start()
+            lastrow_out[pl.ds(d0, DMA_GROUP), :] = lr_stage[:]
+            altcol_out[pl.ds(d0, DMA_GROUP), :] = ac_stage[:]
             return 0
 
         return group
@@ -333,6 +338,8 @@ def sw_fill_pallas(
                 pltpu.VMEM((rows, LANES), I32),  # gsh
                 pltpu.VMEM((rows, LANES), I32),  # alt diag register
                 pltpu.VMEM((DMA_GROUP, rows, LANES), jnp.int16),  # btrack stage
+                pltpu.VMEM((DMA_GROUP, LANES), I32),  # lastrow stage
+                pltpu.VMEM((DMA_GROUP, LANES), I32),  # altcol stage
                 pltpu.SemaphoreType.DMA((1,)),
             ],
         ),
