@@ -1,0 +1,49 @@
+"""Seed extension: Pallas banded kernel vs the portable XLA scan."""
+import time
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
+from acc_genomics_tpu.ops.extend.kernel import LANES, sw_extend_pallas
+
+
+def main(B=2048, Q=128, T=256, K=20):
+    rng = np.random.default_rng(0)
+    q_tm = rng.integers(0, 4, (Q, B)).astype(np.int32)
+    t_tm = rng.integers(0, 4, (T, B)).astype(np.int32)
+    t_tm[:Q] = np.where(rng.random((Q, B)) < 0.95, q_tm, t_tm[:Q])
+    qlen = np.full(B, 101, np.int32)
+    tlen = np.full(B, 160, np.int32)
+    h0 = np.full(B, 25, np.int32)
+    args = [jnp.asarray(x) for x in (q_tm, t_tm, qlen, tlen, h0, qlen, qlen)]
+    br = jnp.asarray(np.full(B // LANES, 160, np.int32))
+
+    def bench(fn, tag):
+        def run_k(k):
+            a, out = args[4], None
+            for _ in range(k):
+                out = fn(args[0], args[1], args[2], args[3], a, args[5], args[6])
+                a = a + out["score"] % 2
+            return out
+
+        r = run_k(1)
+        jax.block_until_ready(r)
+        jax.device_get(r["score"][:1])
+        t0 = time.perf_counter()
+        r = run_k(K)
+        jax.device_get(r["score"][:1])
+        dt = (time.perf_counter() - t0) / K
+        print(f"{tag}: {dt*1e3:.2f} ms  {B/dt/1e3:.0f}K seeds/s")
+
+    bench(sw_extend_batch, "extend xla-scan")
+    bench(lambda *a: sw_extend_pallas(*a, br), "extend pallas  ")
+
+
+if __name__ == "__main__":
+    main()
