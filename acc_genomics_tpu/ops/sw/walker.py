@@ -41,8 +41,12 @@ from acc_genomics_tpu.ops.sw.reference import (
 I32 = jnp.int32
 LANES = 128
 LOW = jnp.int32(-(1 << 30))
-MAX_ELEMS = 192  # element-buffer cap; overflow lanes rerun on host
-SHIP_ELEMS = 48  # elements shipped to the host; en > SHIP -> host rerun
+# Element-buffer cap == shipped prefix: en keeps counting past the cap,
+# and any pair with more elements reruns on the host (the reference's
+# interval-overflow contract).  Small buffers matter: they ride the
+# while-loop carry in HBM, paying a full read+write per walk step.
+MAX_ELEMS = 48
+SHIP_ELEMS = MAX_ELEMS
 
 
 def _write_elem(buf_len, buf_st, slot, ln, stt, mask):
@@ -129,6 +133,9 @@ def sw_walk_device(btr, lastrow_diag, altcol_diag, reflen, altlen, strategy: int
         return jnp.any(s["active"])
 
     def body(s):
+        # ONE cell per gather: TPU HBM gathers are element-throughput
+        # bound (~14 ns/element measured), so widening the gather to
+        # consume match runs costs more than the steps it saves
         p1, p2 = s["p1"], s["p2"]
         act = s["active"]
         d = p1 - 1 + p2 - 1
@@ -162,7 +169,14 @@ def sw_walk_device(btr, lastrow_diag, altcol_diag, reflen, altlen, strategy: int
         elem_len=elem_len, elem_st=elem_st,
         active=(p1 > 0) & (p2 > 0) & (rl > 0) & (al > 0),
     )
-    fin = jax.lax.while_loop(cond, body, init)
+    def body4(s):
+        # 4 steps per iteration: the carry (element buffers + registers)
+        # lives in HBM, so fewer carry round trips per gather step
+        for _ in range(4):
+            s = body(s)
+        return s
+
+    fin = jax.lax.while_loop(cond, body4, init)
     p1, p2 = fin["p1"], fin["p2"]
     seg, state, en = fin["seg"], fin["state"], fin["en"]
     elem_len, elem_st = fin["elem_len"], fin["elem_st"]
