@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -28,27 +30,34 @@ from acc_genomics_tpu.ops.pairhmm.jax_impl import pairhmm_forward, _linear_scan
 from acc_genomics_tpu.utils.convert import BASE_N, HAP_PAD
 
 
+# Each distributed form memoizes one jitted shard_map per mesh: building
+# a fresh shard_map per call retraces (and recompiles) every invocation —
+# measured seconds per call on the scaling driver.
+
+
+@functools.lru_cache(maxsize=None)
+def _dp_fn(mesh: Mesh):
+    spec_rb = P(None, "data")
+    spec_b = P("data")
+    return jax.jit(jax.shard_map(
+        pairhmm_forward,
+        mesh=mesh,
+        in_specs=(spec_rb,) * 10 + (spec_b,),
+        out_specs=spec_b,
+    ))
+
+
 def pairhmm_forward_dp(mesh: Mesh, *packed_arrays):
     """Data-parallel forward: shard the lane axis over "data".
 
     packed_arrays are the time-major arrays of pack.py; the batch must
     divide by the data-axis size.
     """
-    spec_rb = P(None, "data")
-    spec_b = P("data")
-    fn = jax.shard_map(
-        pairhmm_forward,
-        mesh=mesh,
-        in_specs=(spec_rb,) * 10 + (spec_b,),
-        out_specs=spec_b,
-    )
-    return fn(*packed_arrays)
+    return _dp_fn(mesh)(*packed_arrays)
 
 
-def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
-    """Data-parallel Pallas forward: each device runs the diagonal kernel
-    on its lane shard; per-block trip counts shard with the lanes.  The
-    batch must divide by 128 x data-axis size."""
+@functools.lru_cache(maxsize=None)
+def _dp_pallas_fn(mesh: Mesh):
     from acc_genomics_tpu.ops.pairhmm.kernel import pairhmm_forward_pallas
 
     spec_rb = P(None, "data")
@@ -58,7 +67,7 @@ def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
         *arrs, bd = args
         return pairhmm_forward_pallas(*arrs, block_diags=bd)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec_rb,) * 10 + (spec_b, spec_b),
@@ -66,8 +75,14 @@ def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
         # pallas_call outputs carry no varying-mesh-axes annotation; the
         # kernel is purely per-shard, so vma checking adds nothing here
         check_vma=False,
-    )
-    return fn(*packed_arrays, block_diags)
+    ))
+
+
+def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
+    """Data-parallel Pallas forward: each device runs the diagonal kernel
+    on its lane shard; per-block trip counts shard with the lanes.  The
+    batch must divide by 128 x data-axis size."""
+    return _dp_pallas_fn(mesh)(*packed_arrays, block_diags)
 
 
 def _sp_forward_local(
@@ -162,13 +177,19 @@ def pairhmm_forward_dpsp(mesh: Mesh, *packed_arrays):
     rows = p_mm.shape[0]
     cols = hap_ext.shape[0] - rows
     hap = hap_ext[:cols]
+    return _dpsp_fn(mesh)(
+        p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_m, em_x, rs, hap, y0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _dpsp_fn(mesh: Mesh):
     spec_rb = P(None, "data")
     spec_hb = P("seq", "data")
     spec_b = P("data")
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         _sp_forward_local,
         mesh=mesh,
         in_specs=(spec_rb,) * 9 + (spec_hb, spec_b),
         out_specs=spec_b,
-    )
-    return fn(p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_m, em_x, rs, hap, y0)
+    ))

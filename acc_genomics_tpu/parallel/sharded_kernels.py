@@ -12,6 +12,8 @@ PairHMM's richer DP x SP form lives in parallel/sharded.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -20,46 +22,57 @@ from acc_genomics_tpu.ops.smem.machine import smem_collect_machine
 from acc_genomics_tpu.ops.sw.jax_impl import sw_fill
 
 
-def smem_collect_dp(mesh: Mesh, idx, seq_tm, lens):
-    """SMEM state machine, reads sharded over "data", index replicated.
+# Each form memoizes one jitted shard_map per (mesh, statics): building a
+# fresh shard_map per call retraces and recompiles every invocation.
 
-    seq_tm (L, B), lens (B,); B must divide by the data-axis size.
-    Returns (mem arrays (MAX_OUT, B) x5, mem_n (B,), iters per shard).
-    """
+
+@functools.lru_cache(maxsize=None)
+def _smem_dp_fn(mesh: Mesh, idx_keys):
     import jax.numpy as jnp
 
-    idx_spec = jax.tree.map(lambda _: P(), idx)
+    idx_spec = {k: P() for k in idx_keys}
 
     def wrapped(idx_, s_, l_):
         mem, mem_n, iters = smem_collect_machine(idx_, s_, l_)
         # iters differs per shard: ship it as a per-shard (1,) vector
         return mem, mem_n, jnp.broadcast_to(iters, (1,))
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         wrapped,
         mesh=mesh,
         in_specs=(idx_spec, P(None, "data"), P("data")),
         out_specs=((P(None, "data"),) * 5, P("data"), P("data")),
-    )
-    return fn(idx, seq_tm, lens)
+    ))
 
 
-def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
-    """Banded seed extension, tasks sharded over "data"."""
-    fn = jax.shard_map(
+def smem_collect_dp(mesh: Mesh, idx, seq_tm, lens):
+    """SMEM state machine, reads sharded over "data", index replicated.
+
+    seq_tm (L, B), lens (B,); B must divide by the data-axis size.
+    Returns (mem arrays (MAX_OUT, B) x5, mem_n (B,), iters per shard).
+    """
+    return _smem_dp_fn(mesh, tuple(sorted(idx)))(idx, seq_tm, lens)
+
+
+@functools.lru_cache(maxsize=None)
+def _extend_dp_fn(mesh: Mesh):
+    return jax.jit(jax.shard_map(
         sw_extend_batch,
         mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data")) + (P("data"),) * 5,
         out_specs=jax.tree.map(lambda _: P("data"), dict(
             score=0, qle=0, tle=0, gtle=0, gscore=0, max_off=0, w=0
         )),
-    )
-    return fn(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del)
+    ))
 
 
-def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, block_diags):
-    """Full SW device path (Pallas fill + device walker) sharded over
-    "data"; returns the walker's packed element buffer, lane-sharded."""
+def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
+    """Banded seed extension, tasks sharded over "data"."""
+    return _extend_dp_fn(mesh)(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del)
+
+
+@functools.lru_cache(maxsize=None)
+def _sw_device_dp_fn(mesh: Mesh, strategy: int):
     from acc_genomics_tpu.ops.sw.kernel import sw_fill_pallas
     from acc_genomics_tpu.ops.sw.walker import sw_walk_device
 
@@ -67,26 +80,36 @@ def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, blo
         btr, lr, ac = sw_fill_pallas(r, a, rl, al, strategy, block_diags=bd)
         return sw_walk_device(btr, lr, ac, rl, al, strategy)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data"), P("data"), P("data"), P("data")),
         out_specs=P(None, "data"),
         check_vma=False,  # pallas outputs carry no vma annotation
+    ))
+
+
+def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, block_diags):
+    """Full SW device path (Pallas fill + device walker) sharded over
+    "data"; returns the walker's packed element buffer, lane-sharded."""
+    return _sw_device_dp_fn(mesh, strategy)(
+        ref_tm, alt_ext, reflen, altlen, block_diags
     )
-    return fn(ref_tm, alt_ext, reflen, altlen, block_diags)
 
 
-def sw_fill_dp(mesh: Mesh, ref_tm, alt_tm, reflen, altlen, strategy: int):
-    """HTC-SW fill, pairs sharded over "data"; backtrack stays host-side."""
-
+@functools.lru_cache(maxsize=None)
+def _sw_fill_dp_fn(mesh: Mesh, strategy: int):
     def body(r, a, rl, al):
         return sw_fill(r, a, rl, al, strategy)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data"), P("data"), P("data")),
         out_specs=(P(None, None, "data"), P(None, "data"), P(None, "data")),
-    )
-    return fn(ref_tm, alt_tm, reflen, altlen)
+    ))
+
+
+def sw_fill_dp(mesh: Mesh, ref_tm, alt_tm, reflen, altlen, strategy: int):
+    """HTC-SW fill, pairs sharded over "data"; backtrack stays host-side."""
+    return _sw_fill_dp_fn(mesh, strategy)(ref_tm, alt_tm, reflen, altlen)

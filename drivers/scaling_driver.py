@@ -39,9 +39,13 @@ def main():
     from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
     from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
     from acc_genomics_tpu.parallel import make_mesh
-    from acc_genomics_tpu.parallel.sharded import pairhmm_forward_dp
+    from acc_genomics_tpu.parallel.sharded import (
+        pairhmm_forward_dp,
+        pairhmm_forward_dp_pallas,
+    )
 
     n_dev = len(jax.devices())
+    on_tpu = jax.devices()[0].platform == "tpu"
     rng = np.random.default_rng(0)
     tcs = gen_pairhmm_pairs(
         rng, args.pairs, max_read_len=args.rows - 2, max_hap_len=args.cols
@@ -49,6 +53,16 @@ def main():
     pack = pack_pairhmm_batch(tcs, rows=args.rows, cols=args.cols)
     arrays = [jnp.asarray(v) for v in pack.arrays()]
     cells = pack.cells
+    if on_tpu:
+        from acc_genomics_tpu.ops.pairhmm.kernel import block_diag_counts
+
+        bd = jnp.asarray(block_diag_counts(pack))
+
+        def fwd(mesh, *arrs):
+            return pairhmm_forward_dp_pallas(mesh, *arrs, block_diags=bd)
+
+    else:
+        fwd = pairhmm_forward_dp
 
     if jax.devices()[0].platform == "cpu" and n_dev > 1:
         print(
@@ -59,11 +73,11 @@ def main():
     counts = [d for d in (1, 2, 4, 8, 16) if d <= n_dev]
     for d in counts:
         mesh = make_mesh((d, 1))
-        out = pairhmm_forward_dp(mesh, *arrays)  # compile
+        out = fwd(mesh, *arrays)  # compile
         np.asarray(out)
         t0 = time.time()
         for _ in range(args.reps):
-            out = pairhmm_forward_dp(mesh, *arrays)
+            out = fwd(mesh, *arrays)
         np.asarray(out)
         dt = (time.time() - t0) / args.reps
         rate = cells / dt / 1e9
