@@ -136,7 +136,7 @@ def _write_row(buf, row, val, mask):
     """Set buf[row[b], b] = val[b] where mask[b] (row must be in range)."""
     io = jax.lax.broadcasted_iota(I32, buf.shape, 0)
     w = (io == row[None, :]) & mask[None, :]
-    return jnp.where(w, val[None, :], buf)
+    return jnp.where(w, val[None, :].astype(buf.dtype), buf)
 
 
 def _pick(c, arr4):
@@ -166,6 +166,10 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
     zb = ln * 0
     zeros_lb = jnp.zeros((LB, B), I32) + zb[None, :]
     zeros_mm = jnp.zeros((MAX_OUT, B), I32) + zb[None, :]
+    # read positions fit int16 (<= L <= 32767): halving those planes cuts
+    # the while-carry HBM traffic, the dominant per-iteration cost
+    zeros_lb16 = zeros_lb.astype(jnp.int16)
+    zeros_mm16 = zeros_mm.astype(jnp.int16)
 
     init = dict(
         st=jnp.where(ln > 0, S_P1_NEXTX, S_DONE).astype(I32),
@@ -177,9 +181,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         skip_first=zb > 0,
         ik0=zb, ik1=zb, iks=zb, ikst=zb, iken=zb,
         t0=zb, t1=zb, t2=zb, t3=zb, t4=zb,
-        cu0=zeros_lb, cu1=zeros_lb, cu2=zeros_lb, cu3=zeros_lb,  # x0,x1,s,end
-        bk0=zeros_lb, bk1=zeros_lb, bk2=zeros_lb, bk3=zeros_lb, bk4=zeros_lb,
-        mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm, mm4=zeros_mm,
+        cu0=zeros_lb, cu1=zeros_lb, cu2=zeros_lb, cu3=zeros_lb16,  # x0,x1,s,end
+        bk0=zeros_lb, bk1=zeros_lb, bk2=zeros_lb, bk3=zeros_lb16, bk4=zeros_lb16,
+        mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm16, mm4=zeros_mm16,
         iters=jnp.max(zb),  # varying scalar under shard_map
     )
 
@@ -565,7 +569,7 @@ def smem_batch_machine(
     mem_n, iters = jax.device_get((mem_n, jnp.asarray(iters)))
     smem_batch_machine.last_iters = int(iters)
     used = int(min(MAX_OUT, mem_n.max(initial=0)))
-    mem = np.asarray(jnp.stack([m[:used] for m in mem]))
+    mem = np.asarray(jnp.stack([m[:used].astype(jnp.int32) for m in mem]))
     out = []
     overflow = (mem_n > MAX_OUT)[:n_in]
     for k in range(n_in):
