@@ -54,3 +54,24 @@ def test_pallas_sw_tie_breaking_stress(rng, strategy):
         want = sw_align_oracle(r, a, strategy)
         assert ([tuple(e) for e in want[0]], want[1]) == (
             [tuple(e) for e in res[0]], res[1]), (strategy, r[:8], a[:8])
+
+
+def test_pallas_sw_element_overflow_reruns_on_host(rng):
+    """Pairs whose CIGAR exceeds the shipped element prefix must fall
+    back to the host oracle (the interval-overflow contract analog)."""
+    from acc_genomics_tpu.ops.sw.walker import SHIP_ELEMS
+
+    # alternating match/insert pattern: ~2 elements per 3 alt bases
+    ref = rng.integers(0, 4, 96).astype(np.uint8)
+    alt = []
+    for j, b in enumerate(ref):
+        alt.append(b)
+        if j % 2 == 0:
+            alt.append((b + 1) % 4 + 0)  # insertion vs ref
+            alt.append((b + 2) % 4 + 0)
+    alt = np.asarray(alt, np.uint8)[:160]
+    wc, wo = sw_align_oracle(ref, alt, 0)
+    assert len(wc) > SHIP_ELEMS  # the premise: a genuinely long CIGAR
+    got = sw_align_batch_pallas([ref], [alt], 0, rows=96, cols=192,
+                                interpret=True)
+    assert got[0] == (wc, wo)
