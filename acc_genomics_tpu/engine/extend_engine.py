@@ -119,15 +119,22 @@ class ExtendEngine:
                     )
                 else:
                     res = sw_extend_batch(*eargs)
-                # one D2H leaf per group: per-leaf fetches each pay a
-                # ~25 ms round trip on the dev tunnel
                 packed = jnp.stack([res[k] for k in _KEYS])
                 pending.append((idxs, packed))
-            pending = jax.device_get(pending)
+            # ONE D2H transfer for every group: per-leaf fetches each pay
+            # a ~25 ms round trip on the dev tunnel, so all (7, bsz_g)
+            # group results concatenate on device first
+            if pending:
+                allpacked = np.asarray(
+                    jnp.concatenate([p for _, p in pending], axis=1)
+                )
+        col = 0
         for idxs, packed in pending:
             ia = np.asarray(idxs, np.int64)
+            w = packed.shape[1]
             for r, key in enumerate(_KEYS):
-                out[key][ia] = np.asarray(packed[r])[: len(idxs)]
+                out[key][ia] = allpacked[r, col : col + len(idxs)]
+            col += w
         return out
 
     def extend_seeds(self, seeds: Sequence[dict]) -> List[dict]:
