@@ -211,11 +211,18 @@ class PairHMMEngine:
                         [testcases[i] for i in chunk], rows, cols
                     )
                     pending.append((chunk, pack, res))
-            # one batched D2H for every bucket (one round trip, not one per
-            # bucket)
-            fetched = jax.device_get([res for _, _, res in pending])
-            for (chunk, pack, _), res in zip(pending, fetched):
-                raw[chunk] = pack.unsort(np.asarray(res))
+            # ONE D2H transfer for every bucket: device_get still pays a
+            # round trip per leaf on the dev tunnel, so concatenate the
+            # per-bucket results on device first
+            if pending:
+                allres = np.asarray(
+                    jnp.concatenate([res for _, _, res in pending])
+                )
+                col = 0
+                for chunk, pack, res in pending:
+                    w = res.shape[0]
+                    raw[chunk] = pack.unsort(allres[col : col + w])
+                    col += w
         return self._epilogue(testcases, raw)
 
     def _host_forward(self, tcs) -> np.ndarray:
