@@ -65,19 +65,40 @@ class SWEngine:
                 continue
             groups.setdefault((br, ba), []).append(k)
 
-        for (rows, cols), idxs in groups.items():
-            if self.use_pallas:
-                # Pallas diagonal kernel (TPU): fills + host walk in one call
-                from acc_genomics_tpu.ops.sw.kernel import sw_align_batch_pallas
+        if self.use_pallas:
+            # Pallas path: launch EVERY group's fill + device walk, then
+            # fetch all packed element buffers as one concatenated D2H
+            # transfer (device_get pays a round trip per leaf)
+            from acc_genomics_tpu.ops.sw.kernel import (
+                sw_align_batch_decode,
+                sw_align_batch_launch,
+            )
 
-                walked = sw_align_batch_pallas(
-                    [refs[k] for k in idxs], [alts[k] for k in idxs],
-                    strategy, rows, cols, mesh=self.mesh,
+            pend = []
+            for (rows, cols), idxs in list(groups.items()):
+                grefs = [refs[k] for k in idxs]
+                galts = [alts[k] for k in idxs]
+                packed, perm = sw_align_batch_launch(
+                    grefs, galts, strategy, rows, cols, mesh=self.mesh,
                 )
-                for j, k in enumerate(idxs):
-                    self.stats["cells"] += len(refs[k]) * len(alts[k])
-                    out[k] = walked[j]
-                continue
+                pend.append((idxs, grefs, galts, packed, perm))
+                del groups[(rows, cols)]
+            if pend:
+                allpacked = np.asarray(
+                    jnp.concatenate([p[3] for p in pend], axis=1)
+                )
+                col = 0
+                for idxs, grefs, galts, packed, perm in pend:
+                    w = packed.shape[1]
+                    walked = sw_align_batch_decode(
+                        allpacked[:, col : col + w], perm, grefs, galts,
+                        strategy,
+                    )
+                    col += w
+                    for j, k in enumerate(idxs):
+                        self.stats["cells"] += len(refs[k]) * len(alts[k])
+                        out[k] = walked[j]
+        for (rows, cols), idxs in groups.items():
             # pad the batch to the next power of two (>= 8) so jit caches a
             # small number of shapes instead of one per batch size
             bsz = 8

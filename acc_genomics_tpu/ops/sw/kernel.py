@@ -357,18 +357,14 @@ def sw_fill_pallas(
     return btr, lastrow, altcol
 
 
-def sw_align_batch_pallas(
+def sw_align_batch_launch(
     refs, alts, strategy: int, rows: int, cols: int,
     interpret: bool = False, mesh=None,
-) -> List[Tuple[list, int]]:
-    """Batched alignment: Pallas fill + device-side backtrack walker.
-
-    The btrack matrix never leaves the device — only the per-pair CIGAR
-    element buffers do (ops/sw/walker.py).  Pairs whose element count
-    overflows the walker cap rerun on the host oracle.  Equivalent to
-    ops.sw.jax_impl.sw_align_batch (exact results).
-    """
-    from acc_genomics_tpu.ops.sw.walker import decode_elements, sw_walk_device
+):
+    """Launch the fill + device walk; returns (packed device array, perm)
+    without fetching — callers batch many launches into one D2H transfer
+    (decode with sw_align_batch_decode)."""
+    from acc_genomics_tpu.ops.sw.walker import sw_walk_device
 
     n_real = len(refs)
     # sort by total diagonal count so each 128-lane block runs only the
@@ -416,7 +412,18 @@ def sw_align_batch_pallas(
         packed = sw_walk_device(
             btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
         )
-    sorted_out, overflow = decode_elements(packed, n_real)
+    return packed, perm
+
+
+def sw_align_batch_decode(
+    packed_np, perm, refs, alts, strategy: int
+) -> List[Tuple[list, int]]:
+    """Host half: decode a fetched packed element buffer into per-pair
+    (cigar, offset), rerunning overflow pairs on the host oracle."""
+    from acc_genomics_tpu.ops.sw.walker import decode_elements
+
+    n_real = len(refs)
+    sorted_out, overflow = decode_elements(packed_np, n_real)
     out = [None] * n_real
     for k, j in enumerate(perm):
         out[j] = sorted_out[k]
@@ -425,3 +432,22 @@ def sw_align_batch_pallas(
 
             out[j] = sw_align_oracle(refs[j], alts[j], strategy)
     return out
+
+
+def sw_align_batch_pallas(
+    refs, alts, strategy: int, rows: int, cols: int,
+    interpret: bool = False, mesh=None,
+) -> List[Tuple[list, int]]:
+    """Batched alignment: Pallas fill + device-side backtrack walker.
+
+    The btrack matrix never leaves the device — only the per-pair CIGAR
+    element buffers do (ops/sw/walker.py).  Pairs whose element count
+    overflows the walker cap rerun on the host oracle.  Equivalent to
+    ops.sw.jax_impl.sw_align_batch (exact results).
+    """
+    packed, perm = sw_align_batch_launch(
+        refs, alts, strategy, rows, cols, interpret=interpret, mesh=mesh
+    )
+    return sw_align_batch_decode(
+        np.asarray(packed), perm, refs, alts, strategy
+    )
