@@ -50,21 +50,37 @@ class PairHMMConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SmemConfig:
-    """SMEM engine geometry (smem/common/common.h:6-44)."""
+    """SMEM engine geometry + runtime options (smem/common/common.h:6-44,
+    mem_opt_t smem/host/host_types.h:9-47).  The algorithm fields convert
+    to :class:`~acc_genomics_tpu.ops.smem.reference.SmemParams` via
+    :meth:`params` and are threaded into the oracle and the device state
+    machine as static arguments."""
 
     min_seed_len: int = 19
     max_intv_alloc: int = 256  # per-read output interval cap
-    batch_size: int = 1024
+    # max lanes per device call; bigger batches segment into chunks of
+    # this size (the reference's BATCH_SIZE streaming loop)
+    batch_size: int = 4096
     seq_length: int = 256  # per-read sequence slot (largest bucket)
     # per-read length buckets: the machine's curr/back interval buffers
     # are (bucket+1, B), so short reads in a tight bucket halve the
     # masked-buffer work per iteration
     read_buckets: Tuple[int, ...] = (64, 128, 256)
-    occ_interval: int = 64  # occ checkpoint spacing in the TPU index layout
     # passes of mem_collect_intv (split_len/split_width/max_mem_intv)
     split_len: int = 28
     split_width: int = 10
     max_mem_intv: int = 20
+
+    def params(self):
+        from acc_genomics_tpu.ops.smem.reference import SmemParams
+
+        return SmemParams(
+            min_seed_len=self.min_seed_len,
+            split_len=self.split_len,
+            split_width=self.split_width,
+            max_mem_intv=self.max_mem_intv,
+            max_intv_alloc=self.max_intv_alloc,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,8 +95,14 @@ class SWConfig:
     max_batch: int = 260
     # padded (row, col) buckets for the fill kernel
     seq_buckets: Tuple[int, ...] = (64, 128, 192, 256, 320, 384, 512, 768, 1024, 1536)
-    matrix_min_cutoff: int = int(-1e8)
-    low_init_value: int = -(1 << 30)
+
+    def params(self):
+        from acc_genomics_tpu.ops.sw.reference import SWParams
+
+        return SWParams(
+            w_match=self.w_match, w_mismatch=self.w_mismatch,
+            w_open=self.w_open, w_extend=self.w_extend,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +120,17 @@ class ExtendConfig:
     ambig: int = -1
     max_qlen: int = 256
     max_tlen: int = 1024
+
+    def params(self):
+        from acc_genomics_tpu.ops.extend.reference import ExtendParams
+
+        return ExtendParams(
+            o_del=self.o_del, e_del=self.e_del,
+            o_ins=self.o_ins, e_ins=self.e_ins,
+            pen_clip=self.pen_clip, w=self.w,
+            sc_match=self.match, sc_mismatch=self.mismatch,
+            sc_ambig=self.ambig,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

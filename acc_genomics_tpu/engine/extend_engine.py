@@ -17,18 +17,22 @@ import numpy as np
 
 from acc_genomics_tpu.config import ExtendConfig
 from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
-from acc_genomics_tpu.ops.extend.reference import PEN_CLIP, W_IN
+from acc_genomics_tpu.ops.extend.reference import sw_extend_oracle
 from acc_genomics_tpu.utils.timer import Timer
 
 
 _KEYS = ("score", "qle", "tle", "gtle", "gscore", "max_off", "w")
 
 
-def _round_up(n, buckets):
-    for b in buckets:
-        if n <= b:
-            return b
-    raise ValueError(f"length {n} exceeds extension buckets {buckets}")
+def _bucket_ladder(start: int, cap: int):
+    """Power-of-two ladder from start up to (and including) cap."""
+    out = []
+    b = start
+    while b < cap:
+        out.append(b)
+        b *= 2
+    out.append(cap)
+    return tuple(out)
 
 
 class ExtendEngine:
@@ -50,19 +54,31 @@ class ExtendEngine:
             else use_pallas
         )
         self._data_size = int(mesh.shape["data"]) if mesh is not None else 1
-        self.q_buckets = (32, 64, 128, 256)
-        self.t_buckets = (64, 128, 256, 512, 1024)
-        self.stats = {"seeds": 0, "device_calls": 0}
+        # device bucket ladders bounded by the configured caps; tasks past
+        # the caps fall back to the host oracle (FalconSW_FPGA.cpp:43-51
+        # gate pattern) instead of raising
+        self.q_buckets = _bucket_ladder(32, config.max_qlen)
+        self.t_buckets = _bucket_ladder(64, config.max_tlen)
+        self.params = config.params()
+        self.stats = {"seeds": 0, "device_calls": 0, "host_fallback": 0}
 
     def _run(self, queries, targets, h0s) -> Dict[str, np.ndarray]:
-        """One direction for a set of tasks, bucketed by padded shape."""
+        """One direction for a set of tasks, bucketed by padded shape.
+        Oversize tasks (query/target beyond the configured caps) run on
+        the host oracle concurrently with the device groups."""
         n = len(queries)
         out = {k: np.zeros(n, np.int64) for k in
                ("score", "qle", "tle", "gtle", "gscore", "max_off", "w")}
         groups = {}
+        host_idx = []
         for k in range(n):
-            bq = _round_up(max(len(queries[k]), 1), self.q_buckets)
-            bt = _round_up(max(len(targets[k]), 1), self.t_buckets)
+            ql = max(len(queries[k]), 1)
+            tl = max(len(targets[k]), 1)
+            if ql > self.q_buckets[-1] or tl > self.t_buckets[-1]:
+                host_idx.append(k)
+                continue
+            bq = next(b for b in self.q_buckets if ql <= b)
+            bt = next(b for b in self.t_buckets if tl <= b)
             groups.setdefault((bq, bt), []).append(k)
         # launch every group before fetching any result: device compute
         # overlaps host packing, and all D2H transfers batch into one
@@ -104,7 +120,7 @@ class ExtendEngine:
                         sw_extend_dp,
                     )
 
-                    res = sw_extend_dp(self.mesh, *eargs)
+                    res = sw_extend_dp(self.mesh, *eargs, params=self.params)
                 elif self.use_pallas:
                     from acc_genomics_tpu.ops.extend.kernel import (
                         LANES,
@@ -115,12 +131,47 @@ class ExtendEngine:
                         tlen.reshape(-1, LANES).max(axis=1), 1
                     ).astype(np.int32)
                     res = sw_extend_pallas(
-                        *eargs, jnp.asarray(block_rows)
+                        *eargs, jnp.asarray(block_rows), params=self.params
                     )
                 else:
-                    res = sw_extend_batch(*eargs)
+                    res = sw_extend_batch(*eargs, params=self.params)
                 packed = jnp.stack([res[k] for k in _KEYS])
                 pending.append((idxs, packed))
+            # host fallback for oversize tasks on a worker thread, running
+            # CONCURRENTLY with device compute + the D2H fetch below (the
+            # hybrid CPU/device split of PairHMMWorker.cpp:201-270; the
+            # native ksw_extend2 call releases the GIL)
+            host_thread = None
+            if host_idx:
+                from acc_genomics_tpu import native
+
+                self.stats["host_fallback"] += len(host_idx)
+
+                def host_work():
+                    hres = native.sw_extend_host(
+                        [queries[k] for k in host_idx],
+                        [targets[k] for k in host_idx],
+                        [int(h0s[k]) for k in host_idx],
+                        self.params,
+                    )
+                    if hres is not None:
+                        for j, k in enumerate(host_idx):
+                            for key in _KEYS:
+                                out[key][k] = hres[key][j]
+                        return
+                    for k in host_idx:
+                        r = sw_extend_oracle(
+                            queries[k], targets[k], int(h0s[k]),
+                            max_ins=len(queries[k]), max_del=len(queries[k]),
+                            params=self.params,
+                        )
+                        for key in _KEYS:
+                            out[key][k] = r[key]
+
+                import threading
+
+                host_thread = threading.Thread(target=host_work)
+                host_thread.start()
             # ONE D2H transfer for every group: per-leaf fetches each pay
             # a ~25 ms round trip on the dev tunnel, so all (7, bsz_g)
             # group results concatenate on device first
@@ -128,6 +179,8 @@ class ExtendEngine:
                 allpacked = np.asarray(
                     jnp.concatenate([p for _, p in pending], axis=1)
                 )
+            if host_thread is not None:
+                host_thread.join()
         col = 0
         for idxs, packed in pending:
             ia = np.asarray(idxs, np.int64)
@@ -162,11 +215,12 @@ class ExtendEngine:
         qb = np.array([s["qbeg"] for s in seeds], np.int64)
         rq_len = np.array([len(q) for q in right_q], np.int64)
         lsc, rsc = lres["score"], rres["score"]
-        l_clip = (lres["gscore"] <= 0) | (lres["gscore"] <= lsc - PEN_CLIP)
+        pen_clip = self.params.pen_clip
+        l_clip = (lres["gscore"] <= 0) | (lres["gscore"] <= lsc - pen_clip)
         q_beg = np.where(l_clip, qb - lres["qle"], 0)
         r_beg = np.where(l_clip, -lres["tle"], -lres["gtle"])
         true_l = np.where(l_clip, lsc, lres["gscore"])
-        r_clip = (rres["gscore"] <= 0) | (rres["gscore"] <= rsc - PEN_CLIP)
+        r_clip = (rres["gscore"] <= 0) | (rres["gscore"] <= rsc - pen_clip)
         q_end = np.where(r_clip, rres["qle"], rq_len)
         r_end = np.where(r_clip, rres["tle"], rres["gtle"])
         true_score = true_l + np.where(r_clip, rsc, rres["gscore"]) - lsc

@@ -58,6 +58,12 @@ class GenomicsEngine:
     def pairhmm_matrix(self, reads: Sequence[dict], haps: Sequence[np.ndarray]):
         return self.pairhmm.compute_matrix(reads, haps)
 
+    def pairhmm_matrix_flat(self, rs, q, i, d, c, read_lens, hap, hap_lens):
+        """Flat wire-format matrix entry (see PairHMMEngine.compute_matrix_flat)."""
+        return self.pairhmm.compute_matrix_flat(
+            rs, q, i, d, c, read_lens, hap, hap_lens
+        )
+
     def sw_align(self, ref, alts, strategy: int = 0):
         return self.sw.align_one_ref(ref, alts, strategy)
 

@@ -64,6 +64,8 @@ class PairHMMEngine:
         # device-resident lookup tables for the byte-plane upload path
         # (uploaded once; coefficient planes are computed on device)
         self._tables = None
+        # tests set this to run the Pallas path in interpret mode on CPU
+        self._interpret = False
 
     # -- core ------------------------------------------------------------
 
@@ -188,9 +190,21 @@ class PairHMMEngine:
         ]
         over = [k for k in range(n) if k not in set(fits)] if len(fits) < n else []
         raw = np.zeros(n, np.float32)
+        host_thread = None
         if over:
+            # host fallback on a worker thread, concurrent with the device
+            # bucket launches below (the reference worker's CPU-region
+            # boost::thread, PairHMMWorker.cpp:201-270; the native forward
+            # releases the GIL)
+            import threading
+
             self.stats["host_fallback"] = self.stats.get("host_fallback", 0) + len(over)
-            raw[over] = self._host_forward([testcases[k] for k in over])
+
+            def host_work():
+                raw[over] = self._host_forward([testcases[k] for k in over])
+
+            host_thread = threading.Thread(target=host_work)
+            host_thread.start()
 
         plan = plan_buckets(
             [read_lens[k] for k in fits],
@@ -223,6 +237,8 @@ class PairHMMEngine:
                     w = res.shape[0]
                     raw[chunk] = pack.unsort(allres[col : col + w])
                     col += w
+        if host_thread is not None:
+            host_thread.join()
         return self._epilogue(testcases, raw)
 
     def _host_forward(self, tcs) -> np.ndarray:
@@ -276,6 +292,250 @@ class PairHMMEngine:
                     ctx64.log10_initial_constant
                 )
         return out
+
+    # -- flat ingestion path ---------------------------------------------
+
+    def compute_pairs_flat(
+        self,
+        rs: np.ndarray, q: np.ndarray, i: np.ndarray, d: np.ndarray,
+        c: np.ndarray, lens: np.ndarray,
+        hap: np.ndarray, hlens: np.ndarray,
+        offs: Optional[np.ndarray] = None,
+        hoffs: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """log10-likelihoods from concatenated (wire-format) inputs.
+
+        The zero-Python-per-pair path: rs/q/i/d/c are the per-read byte
+        streams concatenated in pair order (lens gives each pair's read
+        length), hap likewise (hlens).  This is the reference's own shape
+        — its host interface ships exactly these concatenated buffers
+        (pairhmm/interface/PairHMMHostInterface.cpp:175-255) and packs
+        them in C++ (pack_fpga_input).  Bucketing, sorting, packing, and
+        the fp64 recompute all run on flat arrays; per-pair Python loops
+        never run.  Requires the native library (falls back to the dict
+        path if unavailable).
+        """
+        from acc_genomics_tpu import native
+        from acc_genomics_tpu.utils.convert import HAP_PAD
+        from acc_genomics_tpu.ops.pairhmm.kernel import LANES
+
+        lens = np.asarray(lens, np.int32)
+        hlens = np.asarray(hlens, np.int32)
+        n = len(lens)
+        if n == 0:
+            return np.zeros(0, np.float64)
+        if offs is None:
+            offs = np.zeros(n, np.int64)
+            if n > 1:
+                np.cumsum(lens[:-1].astype(np.int64), out=offs[1:])
+        else:
+            offs = np.ascontiguousarray(offs, np.int64)
+        if hoffs is None:
+            hoffs = np.zeros(n, np.int64)
+            if n > 1:
+                np.cumsum(hlens[:-1].astype(np.int64), out=hoffs[1:])
+        else:
+            hoffs = np.ascontiguousarray(hoffs, np.int64)
+        if not (self.use_pallas and self.mesh is None) or not native.available():
+            # fall back to the dict path (portable backends)
+            tcs = [
+                dict(
+                    rs=rs[offs[k] : offs[k] + lens[k]],
+                    q=q[offs[k] : offs[k] + lens[k]],
+                    i=i[offs[k] : offs[k] + lens[k]],
+                    d=d[offs[k] : offs[k] + lens[k]],
+                    c=c[offs[k] : offs[k] + lens[k]],
+                    hap=hap[hoffs[k] : hoffs[k] + hlens[k]],
+                )
+                for k in range(n)
+            ]
+            return self.compute_pairs(tcs)
+
+        self.stats["pairs"] += n
+        rs = np.ascontiguousarray(rs, np.uint8)
+        q = np.ascontiguousarray(q, np.uint8)
+        i = np.ascontiguousarray(i, np.uint8)
+        d = np.ascontiguousarray(d, np.uint8)
+        c = np.ascontiguousarray(c, np.uint8)
+        hap = np.ascontiguousarray(hap, np.uint8)
+        self.stats["cells"] += int((lens.astype(np.int64) * hlens).sum())
+
+        rbuckets = np.asarray(self.config.read_buckets, np.int32)
+        cbuckets = np.asarray(self.config.hap_buckets, np.int32)
+        # bucket of each pair (vectorized); oversize -> -1
+        rb = np.searchsorted(rbuckets - 1, lens, side="left")
+        cb = np.searchsorted(cbuckets, hlens, side="left")
+        over = (rb >= len(rbuckets)) | (cb >= len(cbuckets))
+        rb = np.where(over, -1, rb)
+
+        raw = np.zeros(n, np.float32)
+        host_thread = None
+        over_idx = np.flatnonzero(over)
+        if len(over_idx):
+            import threading
+
+            self.stats["host_fallback"] = (
+                self.stats.get("host_fallback", 0) + len(over_idx)
+            )
+
+            def host_work():
+                out = np.empty(len(over_idx), np.float32)
+                lib = native.get_lib()
+                lib.pairhmm_forward_batch_f32(
+                    rs, q, i, d, c,
+                    np.ascontiguousarray(offs[over_idx]),
+                    np.ascontiguousarray(lens[over_idx]),
+                    hap, np.ascontiguousarray(hoffs[over_idx]),
+                    np.ascontiguousarray(hlens[over_idx]), len(over_idx),
+                    np.ascontiguousarray(self.ctx32.ph2pr, np.float32),
+                    np.ascontiguousarray(
+                        self.ctx32.match_to_match, np.float32
+                    ),
+                    np.float32(self.ctx32.initial_constant), out,
+                )
+                raw[over_idx] = out
+
+            host_thread = threading.Thread(target=host_work)
+            host_thread.start()
+
+        code = rb * (len(cbuckets) + 1) + cb  # group id per pair
+        with Timer("pairhmm.device"):
+            pending = []
+            for g in np.unique(code[~over]) if (~over).any() else []:
+                idxs = np.flatnonzero(code == g)
+                gr, gc = divmod(int(g), len(cbuckets) + 1)
+                rows = int(rbuckets[gr])
+                cols = int(cbuckets[gc])
+                max_pairs = self.config.max_batch_pairs
+                for lo in range(0, len(idxs), max_pairs):
+                    sel = idxs[lo : lo + max_pairs]
+                    # haplen-sorted lanes keep per-block trip counts tight
+                    sel = sel[np.argsort(-hlens[sel], kind="stable")]
+                    bp = -(-len(sel) // LANES) * LANES
+                    g_lens = np.zeros(bp, np.int32)
+                    g_hlens = np.zeros(bp, np.int32)
+                    g_offs = np.zeros(bp, np.int64)
+                    g_hoffs = np.zeros(bp, np.int64)
+                    g_lens[: len(sel)] = lens[sel]
+                    g_hlens[: len(sel)] = hlens[sel]
+                    g_offs[: len(sel)] = offs[sel]
+                    g_hoffs[: len(sel)] = hoffs[sel]
+                    packed = native.pairhmm_pack_quals_flat(
+                        rs, q, i, d, c, g_offs, g_lens,
+                        hap, g_hoffs, g_hlens, rows, cols, HAP_PAD,
+                    )
+                    res = self._launch_quals(packed, g_lens, g_hlens)
+                    self.stats["device_calls"] += 1
+                    pending.append((sel, res))
+            if pending:
+                allres = np.asarray(
+                    jnp.concatenate([r for _, r in pending])
+                )
+                col = 0
+                for sel, res in pending:
+                    w = res.shape[0]
+                    raw[sel] = allres[col : col + len(sel)]
+                    col += w
+        if host_thread is not None:
+            host_thread.join()
+        return self._epilogue_flat(
+            rs, q, i, d, c, offs, lens, hap, hoffs, hlens, raw
+        )
+
+    def _launch_quals(self, packed, g_lens, g_hlens):
+        """Enqueue one byte-plane bucket from pre-packed planes."""
+        from acc_genomics_tpu.ops.pairhmm.kernel import (
+            pairhmm_forward_pallas_from_quals,
+        )
+        from acc_genomics_tpu.ops.pairhmm.kernel import LANES
+
+        oq, oi, od, oc, ors, hap_ext = packed
+        if self._tables is None:
+            self._tables = (
+                jax.device_put(
+                    jnp.asarray(self.ctx32.ph2pr.astype(np.float32)),
+                    self.device,
+                ),
+                jax.device_put(
+                    jnp.asarray(self.ctx32.match_to_match.astype(np.float32)),
+                    self.device,
+                ),
+            )
+        rows = ors.shape[0]
+        # per-128-lane-block diagonal trip counts from the sorted haplens,
+        # rounded to the kernel's 4-diagonal unroll (block_diag_counts)
+        nd = rows + g_hlens.reshape(-1, LANES).max(axis=1)
+        bd = ((nd + 3) // 4 * 4).astype(np.int32)
+        return pairhmm_forward_pallas_from_quals(
+            jnp.asarray(oq), jnp.asarray(oi), jnp.asarray(od),
+            jnp.asarray(oc), jnp.asarray(ors), jnp.asarray(hap_ext),
+            jnp.asarray(g_lens), jnp.asarray(g_hlens),
+            *self._tables,
+            np.float32(self.ctx32.initial_constant),
+            block_diags=jnp.asarray(bd),
+            interpret=self._interpret,
+        )
+
+    def _epilogue_flat(
+        self, rs, q, i, d, c, offs, lens, hap, hoffs, hlens, raw
+    ) -> np.ndarray:
+        """log10 + fp64 recompute on flat arrays (no per-pair dicts)."""
+        from acc_genomics_tpu import native
+
+        n = len(lens)
+        out = np.empty(n, np.float64)
+        ok = raw >= np.float32(self.config.min_accepted)
+        with np.errstate(divide="ignore"):
+            out[ok] = np.log10(raw[ok].astype(np.float64)) - np.float64(
+                self.ctx32.log10_initial_constant
+            )
+        bad = np.flatnonzero(~ok)
+        self.stats["recomputed"] += len(bad)
+        if len(bad):
+            ctx64 = PairHMMContext(np.float64)
+            r64 = np.empty(len(bad), np.float64)
+            with Timer("pairhmm.recompute64"):
+                lib = native.get_lib()
+                lib.pairhmm_forward_batch_f64(
+                    rs, q, i, d, c,
+                    np.ascontiguousarray(offs[bad]),
+                    np.ascontiguousarray(lens[bad]),
+                    hap, np.ascontiguousarray(hoffs[bad]),
+                    np.ascontiguousarray(hlens[bad]), len(bad),
+                    np.ascontiguousarray(ctx64.ph2pr, np.float64),
+                    np.ascontiguousarray(ctx64.match_to_match, np.float64),
+                    np.float64(ctx64.initial_constant), r64,
+                )
+                out[bad] = np.log10(r64) - np.float64(
+                    ctx64.log10_initial_constant
+                )
+        return out
+
+    def compute_matrix_flat(
+        self, rs, q, i, d, c, read_lens, hap, hap_lens
+    ) -> np.ndarray:
+        """All read x hap likelihoods from flat per-read / per-hap streams.
+
+        The cross product shares the underlying byte streams — pair
+        (r, h) is addressed by (read offset r, hap offset h), so no data
+        is replicated on the host (the reference tiles the same way,
+        PairHMMWorker.cpp:217-222).
+        """
+        read_lens = np.asarray(read_lens, np.int32)
+        hap_lens = np.asarray(hap_lens, np.int32)
+        n_r, n_h = len(read_lens), len(hap_lens)
+        roffs = np.zeros(n_r, np.int64)
+        hoffs0 = np.zeros(n_h, np.int64)
+        if n_r > 1:
+            np.cumsum(read_lens[:-1].astype(np.int64), out=roffs[1:])
+        if n_h > 1:
+            np.cumsum(hap_lens[:-1].astype(np.int64), out=hoffs0[1:])
+        res = self.compute_pairs_flat(
+            rs, q, i, d, c,
+            np.repeat(read_lens, n_h), hap, np.tile(hap_lens, n_r),
+            offs=np.repeat(roffs, n_h), hoffs=np.tile(hoffs0, n_r),
+        )
+        return res.reshape(n_r, n_h)
 
     def compute_matrix(self, reads: Sequence[dict], haps: Sequence[np.ndarray]) -> np.ndarray:
         """All read x hap likelihoods, read-major (the reference driver's

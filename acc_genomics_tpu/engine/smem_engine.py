@@ -55,6 +55,7 @@ class SmemEngine:
                     k: (jax.device_put(v, self.device) if hasattr(v, "shape") else v)
                     for k, v in idx.items()
                 }
+        self.params = config.params()
         self.stats = {"reads": 0, "overflow_reruns": 0, "probe_iters": 0}
 
     def collect(self, reads: List[np.ndarray]) -> List[List[dict]]:
@@ -76,22 +77,39 @@ class SmemEngine:
                 continue
             b = next(b for b in buckets if len(r) <= b)
             groups.setdefault(b, []).append(k)
-        for b, dev_idx in groups.items():
-            with Timer("smem.device"):
-                res, overflow = smem_batch_machine(
-                    self.idx, [reads[k] for k in dev_idx], seq_len=b,
-                    mesh=self.mesh,
+        # segment big groups into batch_size device calls (the reference's
+        # BATCH_SIZE streaming loop, smem/main.cpp getBatch)
+        seg = max(int(self.config.batch_size), 1)
+        for b, idxs in groups.items():
+            for lo in range(0, len(idxs), seg):
+                dev_idx = idxs[lo : lo + seg]
+                with Timer("smem.device"):
+                    res, overflow = smem_batch_machine(
+                        self.idx, [reads[k] for k in dev_idx], seq_len=b,
+                        mesh=self.mesh, params=self.params,
+                    )
+                self.stats["probe_iters"] += getattr(
+                    smem_batch_machine, "last_iters", 0
                 )
-            self.stats["probe_iters"] += getattr(
-                smem_batch_machine, "last_iters", 0
-            )
-            for j, k in enumerate(dev_idx):
-                if overflow[j]:
-                    host_idx.append(k)
-                    self.stats["overflow_reruns"] += 1
-                else:
-                    out[k] = res[j]
-        with Timer("smem.host"):
-            for k in host_idx:
-                out[k] = mem_collect_intv_oracle(self.fm, reads[k])
+                for j, k in enumerate(dev_idx):
+                    if overflow[j]:
+                        host_idx.append(k)
+                        self.stats["overflow_reruns"] += 1
+                    else:
+                        out[k] = res[j]
+        if host_idx:
+            with Timer("smem.host"):
+                from acc_genomics_tpu import native
+
+                host_reads = [reads[k] for k in host_idx]
+                hres = native.smem_collect_host(
+                    self.fm, host_reads, self.params
+                )
+                for j, k in enumerate(host_idx):
+                    r = hres[j] if hres is not None else None
+                    if r is None:  # no native lib (or pathological read)
+                        r = mem_collect_intv_oracle(
+                            self.fm, reads[k], self.params
+                        )
+                    out[k] = r
         return out

@@ -9,6 +9,7 @@ native walker (Python fallback).
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -36,6 +37,7 @@ class SWEngine:
         self.use_pallas = (
             self.device.platform == "tpu" if use_pallas is None else use_pallas
         )
+        self.params = config.params()
         self.stats = {"pairs": 0, "host_fallback": 0, "cells": 0}
 
     def _bucket(self, n: int) -> Optional[int]:
@@ -55,15 +57,39 @@ class SWEngine:
         self.stats["pairs"] += n
         out: List = [None] * n
         groups = {}
+        host_idx = []
         for k, (r, a) in enumerate(zip(refs, alts)):
             br = self._bucket(len(r))
             ba = self._bucket(len(a))
             if br is None or ba is None:
-                # beyond device buckets: host oracle (AVX-fallback analog)
-                self.stats["host_fallback"] += 1
-                out[k] = sw_align_oracle(r, a, strategy)
+                # beyond device buckets: host fallback (AVX-fallback analog)
+                host_idx.append(k)
                 continue
             groups.setdefault((br, ba), []).append(k)
+        host_thread = None
+        if host_idx:
+            # run the native host engine on a worker thread CONCURRENTLY
+            # with the device bucket launches below — the hybrid CPU/device
+            # split of the reference worker (PairHMMWorker.cpp:201-270);
+            # the ctypes call releases the GIL, so overlap is real
+            self.stats["host_fallback"] += len(host_idx)
+
+            def host_work():
+                walked = native.sw_align_host(
+                    [refs[k] for k in host_idx], [alts[k] for k in host_idx],
+                    strategy, self.params,
+                    max_elems=max(self.config.max_seq_len, 1536),
+                )
+                for j, k in enumerate(host_idx):
+                    res = walked[j] if walked is not None else None
+                    if res is None:  # no native lib / element overflow
+                        res = sw_align_oracle(
+                            refs[k], alts[k], strategy, params=self.params
+                        )
+                    out[k] = res
+
+            host_thread = threading.Thread(target=host_work)
+            host_thread.start()
 
         if self.use_pallas:
             # Pallas path: launch EVERY group's fill + device walk, then
@@ -80,6 +106,7 @@ class SWEngine:
                 galts = [alts[k] for k in idxs]
                 packed, perm = sw_align_batch_launch(
                     grefs, galts, strategy, rows, cols, mesh=self.mesh,
+                    params=self.params,
                 )
                 pend.append((idxs, grefs, galts, packed, perm))
                 del groups[(rows, cols)]
@@ -92,7 +119,7 @@ class SWEngine:
                     w = packed.shape[1]
                     walked = sw_align_batch_decode(
                         allpacked[:, col : col + w], perm, grefs, galts,
-                        strategy,
+                        strategy, params=self.params,
                     )
                     col += w
                     for j, k in enumerate(idxs):
@@ -121,7 +148,7 @@ class SWEngine:
                     jax.device_put(jnp.asarray(alt_tm), self.device),
                     jax.device_put(jnp.asarray(reflen), self.device),
                     jax.device_put(jnp.asarray(altlen), self.device),
-                    strategy,
+                    strategy, self.params,
                 )
                 bt = np.asarray(bt).transpose(2, 0, 1)
                 lastrow = np.asarray(lastrow).T
@@ -147,6 +174,8 @@ class SWEngine:
                         int(reflen[j]), int(altlen[j]), strategy,
                     )
                 out[k] = res
+        if host_thread is not None:
+            host_thread.join()
         return out
 
     def align_one_ref(self, ref: np.ndarray, alts: Sequence[np.ndarray], strategy: int):

@@ -75,6 +75,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pairhmm_forward_batch_f64.argtypes = fwd_common + [
         _f64p, _f64p, ctypes.c_double, _f64p,
     ]
+    lib.sw_align_batch_native.argtypes = [
+        _i8p, _i64p, _i32p, _i8p, _i64p, _i32p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _i32p, _i32p, _i32p,
+    ]
+    lib.pairhmm_pack_quals.argtypes = [
+        _i8p, _i8p, _i8p, _i8p, _i8p, _i64p, _i32p,
+        _i8p, _i64p, _i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint8,
+        _i8p, _i8p, _i8p, _i8p, _i8p, _i8p,
+    ]
+    lib.smem_collect_batch_native.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+        _i8p, _i64p, _i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _i64p, _i32p,
+    ]
+    lib.sw_extend_batch_native.argtypes = [
+        _i8p, _i64p, _i32p, _i8p, _i64p, _i32p, _i32p,
+        ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _i32p,
+    ]
     _lib = lib
     return lib
 
@@ -128,6 +153,210 @@ def cigar_walk(
         cigar = [(int(out_elems[k, j, 0]), int(out_elems[k, j, 1])) for j in range(n)]
         res.append((cigar, int(out_off[k])))
     return res
+
+
+def _cat_u8(seqs):
+    n = len(seqs)
+    lens = np.array([len(s) for s in seqs], np.int32)
+    offs = np.zeros(n, np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1], out=offs[1:])
+    flat = (
+        np.ascontiguousarray(np.concatenate([np.asarray(s, np.uint8) for s in seqs]))
+        if n
+        else np.zeros(0, np.uint8)
+    )
+    return flat, offs, lens
+
+
+def sw_align_host(refs, alts, strategy: int, params=None, max_elems: int = 1536):
+    """Native host SW alignment (fill + backtrack) — the production-speed
+    CPU fallback (role of FalconSW_AVX's row-wise engine).  Returns
+    [(cigar, offset)] or None if the lib is unavailable.  Pairs whose
+    element count overflows max_elems come back as None entries (callers
+    rerun those on the oracle)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if params is None:
+        from acc_genomics_tpu.ops.sw.reference import DEFAULT_SW_PARAMS
+
+        params = DEFAULT_SW_PARAMS
+    b = len(refs)
+    rflat, roffs, rlens = _cat_u8(refs)
+    aflat, aoffs, alens = _cat_u8(alts)
+    out_elems = np.zeros((b, max_elems, 2), np.int32)
+    out_n = np.zeros(b, np.int32)
+    out_off = np.zeros(b, np.int32)
+    lib.sw_align_batch_native(
+        rflat, roffs, rlens, aflat, aoffs, alens,
+        b, strategy,
+        int(params.w_match), int(params.w_mismatch),
+        int(params.w_open), int(params.w_extend),
+        max_elems, out_elems.reshape(-1), out_n, out_off,
+    )
+    res = []
+    for k in range(b):
+        n = int(out_n[k])
+        if n > max_elems:
+            res.append(None)
+            continue
+        cigar = [(int(out_elems[k, j, 0]), int(out_elems[k, j, 1])) for j in range(n)]
+        res.append((cigar, int(out_off[k])))
+    return res
+
+
+def pairhmm_pack_quals_flat(
+    rs, q, i, d, c, offs, lens, hap, hoffs, hlens, rows, cols, hap_pad,
+):
+    """Byte-plane pack from already-flat (concatenated) inputs — zero
+    per-pair Python work; offs/lens select each pair (so a permutation is
+    just permuted offs/lens).  Returns (q, i, d, c, rs, hap_ext) time-major
+    uint8 arrays or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bp = len(lens)
+    shape = (rows, bp)
+    outs = [np.empty(shape, np.uint8) for _ in range(5)]  # q i d c rs
+    hap_ext = np.empty((rows + cols, bp), np.uint8)
+    lib.pairhmm_pack_quals(
+        np.ascontiguousarray(rs, np.uint8), np.ascontiguousarray(q, np.uint8),
+        np.ascontiguousarray(i, np.uint8), np.ascontiguousarray(d, np.uint8),
+        np.ascontiguousarray(c, np.uint8),
+        np.ascontiguousarray(offs, np.int64),
+        np.ascontiguousarray(lens, np.int32),
+        np.ascontiguousarray(hap, np.uint8),
+        np.ascontiguousarray(hoffs, np.int64),
+        np.ascontiguousarray(hlens, np.int32),
+        bp, rows, cols, int(hap_pad),
+        *[a.reshape(-1) for a in outs], hap_ext.reshape(-1),
+    )
+    oq, oi, od, oc, ors = outs
+    return oq, oi, od, oc, ors, hap_ext
+
+
+def pairhmm_pack_quals_native(testcases, rows, cols, hap_pad, pad_to: int = 0):
+    """Native byte-plane pack (memcpy + blocked transpose): returns
+    (q, i, d, c, rs, hap_ext, rslen, haplen) time-major uint8 arrays or
+    None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = len(testcases)
+    bp = max(pad_to, b)
+    lens = np.zeros(bp, np.int32)
+    hlens = np.zeros(bp, np.int32)
+    lens[:b] = [len(t["rs"]) for t in testcases]
+    hlens[:b] = [len(t["hap"]) for t in testcases]
+    if b and lens.max() >= rows:
+        raise ValueError(f"read length {lens.max()} needs bucket > {rows} rows")
+    if b and hlens.max() > cols:
+        raise ValueError(f"hap length {hlens.max()} exceeds bucket cols {cols}")
+    offs = np.zeros(bp, np.int64)
+    hoffs = np.zeros(bp, np.int64)
+    if bp > 1:
+        np.cumsum(lens[:-1], out=offs[1:])
+        np.cumsum(hlens[:-1], out=hoffs[1:])
+    cat = lambda key: np.ascontiguousarray(
+        np.concatenate([np.asarray(t[key], np.uint8) for t in testcases])
+        if b else np.zeros(0, np.uint8)
+    )
+    rs, q, i, d, c = cat("rs"), cat("q"), cat("i"), cat("d"), cat("c")
+    hap = cat("hap")
+    packed = pairhmm_pack_quals_flat(
+        rs, q, i, d, c, offs, lens, hap, hoffs, hlens, rows, cols, hap_pad
+    )
+    if packed is None:
+        return None
+    oq, oi, od, oc, ors, hap_ext = packed
+    return oq, oi, od, oc, ors, hap_ext, lens, hlens
+
+
+_smem_tbl_cache = {}
+
+
+def smem_collect_host(fm, reads, params=None, max_out: int = 4096):
+    """Native host 3-pass SMEM collection — the production-speed CPU
+    fallback for overflow/bust/oversize reads (role of the reference's
+    smem/host/baseline.cpp engine).  Bit-identical to
+    ops.smem.reference.mem_collect_intv_oracle; returns
+    [[interval dicts]] or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if params is None:
+        from acc_genomics_tpu.ops.smem.reference import DEFAULT_SMEM_PARAMS
+
+        params = DEFAULT_SMEM_PARAMS
+    # fused (nblk, 8) probe table, cached per index identity
+    key = id(fm)
+    tbl = _smem_tbl_cache.get(key)
+    if tbl is None:
+        nblk = fm.bwt_packed.shape[0]
+        tbl = np.empty((nblk, 8), np.int32)
+        tbl[:, :4] = fm.occ_ckpt[:nblk].astype(np.int32)
+        tbl[:, 4:] = fm.bwt_packed.view(np.int32)
+        tbl = np.ascontiguousarray(tbl)
+        _smem_tbl_cache.clear()  # one resident index at a time
+        _smem_tbl_cache[key] = tbl
+    b = len(reads)
+    flat, offs, lens = _cat_u8(reads)
+    out_mem = np.zeros((b, max_out, 5), np.int64)
+    out_n = np.zeros(b, np.int32)
+    lib.smem_collect_batch_native(
+        tbl, tbl.shape[0], int(fm.primary),
+        np.ascontiguousarray(fm.L2, np.int64),
+        flat, offs, lens, b,
+        int(params.min_seed_len), int(params.split_len),
+        int(params.split_width), int(params.max_mem_intv),
+        max_out, out_mem.reshape(-1), out_n,
+    )
+    res = []
+    for k in range(b):
+        n = int(out_n[k])
+        if n > max_out:  # pathological read; caller falls back to oracle
+            res.append(None)
+            continue
+        res.append(
+            [
+                dict(
+                    x0=int(out_mem[k, j, 0]), x1=int(out_mem[k, j, 1]),
+                    s=int(out_mem[k, j, 2]), start=int(out_mem[k, j, 3]),
+                    end=int(out_mem[k, j, 4]),
+                )
+                for j in range(n)
+            ]
+        )
+    return res
+
+
+def sw_extend_host(queries, targets, h0s, params=None):
+    """Native host banded extension (ksw_extend2 loop) — the
+    production-speed CPU fallback for oversize tasks.  Returns a dict of
+    (B,) int64 arrays (score qle tle gtle gscore max_off w) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if params is None:
+        from acc_genomics_tpu.ops.extend.reference import DEFAULT_EXTEND_PARAMS
+
+        params = DEFAULT_EXTEND_PARAMS
+    b = len(queries)
+    qflat, qoffs, qlens = _cat_u8(queries)
+    tflat, toffs, tlens = _cat_u8(targets)
+    out = np.zeros((b, 7), np.int32)
+    lib.sw_extend_batch_native(
+        qflat, qoffs, qlens, tflat, toffs, tlens,
+        np.ascontiguousarray(np.asarray(h0s, np.int32)), b,
+        int(params.o_del), int(params.e_del),
+        int(params.o_ins), int(params.e_ins),
+        int(params.w), int(params.sc_match), int(params.sc_mismatch),
+        int(params.sc_ambig),
+        out.reshape(-1),
+    )
+    keys = ("score", "qle", "tle", "gtle", "gscore", "max_off", "w")
+    return {k: out[:, j].astype(np.int64) for j, k in enumerate(keys)}
 
 
 def pairhmm_pack_native(

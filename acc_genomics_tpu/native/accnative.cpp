@@ -327,6 +327,600 @@ void pairhmm_pack(
   }
 }
 
+// ---------------------------------------------------------------------------
+// HTC-SW native host engine: full row-wise fill + backtrack -> CIGAR.
+// The production-speed CPU fallback (role of calculateMatrixRowWise +
+// calculateCigarOneBatch, htc-sw/host/FalconSW_AVX.cpp:413-2419) — the
+// NumPy oracle stays the behavioural contract; results are identical.
+// Weights are runtime arguments (the SWConfig/common.h:13-56 analog).
+// ---------------------------------------------------------------------------
+
+void sw_align_batch_native(
+    const uint8_t* ref, const int64_t* roffs, const int32_t* rlens,
+    const uint8_t* alt, const int64_t* aoffs, const int32_t* alens,
+    int32_t batch, int32_t strategy,
+    int32_t w_match, int32_t w_mismatch, int32_t w_open, int32_t w_extend,
+    int32_t max_elems,
+    int32_t* out_elems, int32_t* out_n, int32_t* out_offset) {
+  const int STRAT_SOFTCLIP = 0, STRAT_INDEL = 1, STRAT_LEADING = 2,
+            STRAT_IGNORE = 3;
+  const int SM = 0, SI = 1, SD = 2, SC = 4;
+  const int32_t MIN_CUTOFF = (int32_t)-1e8;
+  const int32_t LOW_INIT = -(1 << 30);
+  bool indel_init = strategy == STRAT_INDEL || strategy == STRAT_LEADING;
+
+#pragma omp parallel
+  {
+    std::vector<int16_t> btr;       // (rl x al), rows 1.., cols 1..
+    std::vector<int32_t> sw_prev, sw_cur, bgv, gsv, lastrow, altcol;
+#pragma omp for schedule(dynamic, 4)
+    for (int32_t b = 0; b < batch; ++b) {
+      int rl = rlens[b], al = alens[b];
+      int32_t* el = out_elems + (int64_t)b * max_elems * 2;
+      if (rl <= 0 || al <= 0) { out_n[b] = 0; out_offset[b] = 0; continue; }
+      const uint8_t* pr = ref + roffs[b];
+      const uint8_t* pa = alt + aoffs[b];
+      btr.assign((size_t)rl * al, 0);
+      sw_prev.assign(al + 1, 0);
+      sw_cur.assign(al + 1, 0);
+      bgv.assign(al + 1, LOW_INIT);
+      gsv.assign(al + 1, 0);
+      lastrow.assign(al + 1, 0);
+      altcol.assign(rl, 0);
+      if (indel_init)
+        for (int j = 1; j <= al; ++j)
+          sw_prev[j] = w_open + (j - 1) * w_extend;
+      // fill (exact sw_fill_cellwise semantics: priority diag>=right>=down)
+      for (int i = 1; i <= rl; ++i) {
+        uint8_t a = pr[i - 1];
+        int32_t best_gap_h = LOW_INIT;
+        int32_t gap_size_h = 0;
+        sw_cur[0] = indel_init ? w_open + (i - 1) * w_extend : 0;
+        for (int j = 1; j <= al; ++j) {
+          uint8_t c = pa[j - 1];
+          int32_t step_diag = sw_prev[j - 1] + (a == c ? w_match : w_mismatch);
+          int32_t prev_gap = sw_prev[j] + w_open;
+          bgv[j] += w_extend;
+          if (prev_gap > bgv[j]) { bgv[j] = prev_gap; gsv[j] = 1; }
+          else gsv[j]++;
+          int32_t step_down = bgv[j];
+          int32_t kd = gsv[j];
+          prev_gap = sw_cur[j - 1] + w_open;
+          best_gap_h += w_extend;
+          if (prev_gap > best_gap_h) { best_gap_h = prev_gap; gap_size_h = 1; }
+          else gap_size_h++;
+          int32_t step_right = best_gap_h;
+          int32_t ki = gap_size_h;
+          int32_t v; int16_t bcode;
+          if (step_diag >= step_down && step_diag >= step_right) {
+            v = step_diag; bcode = 0;
+          } else if (step_right >= step_down) {
+            v = step_right; bcode = (int16_t)-ki;
+          } else {
+            v = step_down; bcode = (int16_t)kd;
+          }
+          sw_cur[j] = v > MIN_CUTOFF ? v : MIN_CUTOFF;
+          btr[(size_t)(i - 1) * al + (j - 1)] = bcode;
+        }
+        altcol[i - 1] = sw_cur[al];
+        sw_prev.swap(sw_cur);
+      }
+      for (int j = 0; j <= al; ++j) lastrow[j] = sw_prev[j];
+
+      // start-cell selection + walk (calculateCigarOneBatch semantics)
+      int p1 = 0, p2 = al;
+      long seg = 0;
+      int n_el = 0;
+      auto push = [&](long len, int state) {
+        if (n_el < max_elems) { el[2 * n_el] = (int32_t)len; el[2 * n_el + 1] = state; }
+        n_el++;
+      };
+      if (strategy == STRAT_INDEL) { p1 = rl; p2 = al; }
+      else {
+        long maxscore = INT64_MIN;
+        for (int i = 1; i <= rl; ++i)
+          if (altcol[i - 1] >= maxscore) { p1 = i; maxscore = altcol[i - 1]; }
+        if (strategy != STRAT_LEADING) {
+          for (int j = 1; j <= al; ++j) {
+            long cur = lastrow[j];
+            if (cur > maxscore ||
+                (cur == maxscore && std::abs(rl - j) < std::abs(p1 - p2))) {
+              p1 = rl; p2 = j; maxscore = cur; seg = al - j;
+            }
+          }
+        }
+      }
+      if (seg > 0 && strategy == STRAT_SOFTCLIP) { push(seg, SC); seg = 0; }
+      int state = SM;
+      while (true) {
+        int bcode = btr[(size_t)(p1 - 1) * al + (p2 - 1)];
+        int new_state, step;
+        if (bcode > 0) { new_state = SD; step = bcode; }
+        else if (bcode < 0) { new_state = SI; step = -bcode; }
+        else { new_state = SM; step = 1; }
+        if (new_state == SM) { p1--; p2--; }
+        else if (new_state == SI) { p2 -= step; }
+        else { p1 -= step; }
+        if (new_state == state) seg += step;
+        else { push(seg, state); seg = step; state = new_state; }
+        if (!(p1 > 0 && p2 > 0)) break;
+      }
+      int offset;
+      if (strategy == STRAT_SOFTCLIP) {
+        push(seg, state);
+        if (p2 > 0) push(p2, SC);
+        offset = p1;
+      } else if (strategy == STRAT_IGNORE) {
+        push(seg + p2, state);
+        offset = p1 - p2;
+      } else {
+        push(seg, state);
+        if (p1 > 0) push(p1, SD);
+        else if (p2 > 0) push(p2, SI);
+        offset = 0;
+      }
+      int lim = n_el < max_elems ? n_el : max_elems;
+      for (int i2 = 0, j2 = lim - 1; i2 < j2; ++i2, --j2) {
+        std::swap(el[2 * i2], el[2 * j2]);
+        std::swap(el[2 * i2 + 1], el[2 * j2 + 1]);
+      }
+      out_n[b] = n_el;
+      out_offset[b] = offset;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SMEM native host engine: 3-pass mem_collect_intv over the fused probe
+// table — the production-speed CPU fallback for overflow / cap-bust /
+// oversize reads (role of the reference's BWA-derived CPU baseline,
+// smem/host/baseline.cpp).  Semantics are a direct port of the package's
+// own NumPy oracle (ops/smem/reference.py), which remains the contract;
+// results are bit-identical and runtime options are arguments.
+// Table layout: row b of tbl = [cnt0..3, word0..3], 64 bases per row,
+// 16 bases per big-endian-packed u32 (ops/smem/index.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SmemIdx {
+  const int32_t* tbl;
+  int64_t nblk;
+  int64_t primary;
+  const int64_t* l2;  // l2[5]
+};
+
+struct Intv {
+  int64_t x0, x1, s;
+  int32_t start, end;
+};
+
+static inline void occ4(const SmemIdx& ix, int64_t k, int64_t cnt[4]) {
+  if (k < 0) { cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0; return; }
+  if (k >= ix.primary) k -= 1;
+  int64_t blk = k >> 6;
+  int off = (int)(k & 63);
+  const int32_t* row = ix.tbl + blk * 8;
+  const uint32_t* w = (const uint32_t*)(row + 4);
+  for (int c = 0; c < 4; ++c) {
+    uint32_t pat = 0x55555555u * (uint32_t)c;
+    // counts are stored int32; seq_len < 2^31 (the bound the machine
+    // asserts) keeps them in range
+    int64_t acc = row[c];
+    for (int m = 0; m < 4; ++m) {
+      int keep = off + 1 - 16 * m;
+      if (keep <= 0) break;
+      if (keep > 16) keep = 16;
+      uint32_t nx = ~(w[m] ^ pat);
+      uint32_t y = nx & (nx >> 1) & 0x55555555u;
+      uint32_t mask = 0xFFFFFFFFu << (32 - 2 * keep);
+      acc += __builtin_popcount(y & mask);
+    }
+    cnt[c] = acc;
+  }
+}
+
+// bidirectional extension (bwt_extend semantics; mirrors FMIndex.extend)
+static inline void smem_extend(const SmemIdx& ix, const Intv& ik, int is_back,
+                               Intv ok[4]) {
+  int cntc = 1 - is_back, oth = is_back;
+  int64_t xf = cntc == 0 ? ik.x0 : ik.x1;
+  int64_t xo = oth == 0 ? ik.x0 : ik.x1;
+  int64_t tk[4], tl[4];
+  occ4(ix, xf - 1, tk);
+  occ4(ix, xf - 1 + ik.s, tl);
+  int64_t osz[4], coord[4];
+  for (int c = 0; c < 4; ++c) {
+    osz[c] = tl[c] - tk[c];
+    coord[c] = ix.l2[c] + 1 + tk[c];
+  }
+  int64_t span = (xf <= ix.primary && xf + ik.s - 1 >= ix.primary) ? 1 : 0;
+  int64_t acc = xo + span;
+  int64_t other[4];
+  for (int c = 3; c >= 0; --c) { other[c] = acc; acc += osz[c]; }
+  for (int c = 0; c < 4; ++c) {
+    ok[c].s = osz[c];
+    if (cntc == 0) { ok[c].x0 = coord[c]; ok[c].x1 = other[c]; }
+    else { ok[c].x1 = coord[c]; ok[c].x0 = other[c]; }
+    ok[c].start = 0; ok[c].end = 0;
+  }
+}
+
+static inline Intv set_intv(const SmemIdx& ix, int c) {
+  Intv iv;
+  iv.x0 = ix.l2[c] + 1;
+  iv.x1 = ix.l2[3 - c] + 1;
+  iv.s = ix.l2[c + 1] - ix.l2[c];
+  iv.start = 0; iv.end = 0;
+  return iv;
+}
+
+// one seeding round (bwt_smem1a_new semantics, max_intv = 0); mirrors
+// ops/smem/reference.py smem1a_fwdback exactly
+static int smem1a_fwdback_native(
+    const SmemIdx& ix, const uint8_t* seq, int ln, int x, int64_t min_intv,
+    int min_seed_len, std::vector<Intv>& mem) {
+  if (seq[x] > 3) return x + 1;
+  if (min_intv < 1) min_intv = 1;
+  Intv ik = set_intv(ix, seq[x]);
+  ik.start = 0; ik.end = x + 1;
+  std::vector<Intv> curr;
+  int i = x + 1;
+  Intv ok[4];
+  for (; i < ln; ++i) {
+    if (seq[i] < 4) {
+      int c = 3 - seq[i];
+      smem_extend(ix, ik, 0, ok);
+      if (ok[c].s != ik.s) {
+        curr.push_back(ik);
+        if (ok[c].s < min_intv) break;
+      }
+      ik.x0 = ok[c].x0; ik.x1 = ok[c].x1; ik.s = ok[c].s;
+      ik.end = i + 1;
+    } else {
+      curr.push_back(ik);
+      break;
+    }
+  }
+  if (i == ln) curr.push_back(ik);
+  int ret = curr.back().end;
+
+  std::vector<Intv> back_intv;
+  int start = x, stop = x;
+  Intv temp;
+  bool have_temp = false;
+  size_t ci = 0;
+  while (ci < curr.size()) {
+    ik = curr[ci];
+    ik.start = x;
+    if (back_intv.empty() || stop - start >= 3) {
+      back_intv.clear();
+      back_intv.push_back(ik);
+      for (int k = x - 1; k >= -1; --k) {
+        int c = k < 0 ? -1 : (seq[k] < 4 ? seq[k] : -1);
+        if (c < 0) break;
+        smem_extend(ix, ik, 1, ok);
+        if (ok[c].s < min_intv) break;
+        ik.x0 = ok[c].x0; ik.x1 = ok[c].x1; ik.s = ok[c].s;
+        ik.start = k; ik.end = curr[ci].end;
+        back_intv.push_back(ik);
+      }
+      start = curr[ci].end;
+      stop = ci < curr.size() - 1 ? curr[ci + 1].end : ln;
+      if (ci == 0) { temp = ik; have_temp = true; }
+      else if (ik.start > temp.start && temp.end - temp.start >= min_seed_len) {
+        mem.push_back(temp);
+        temp = ik;
+      } else temp = ik;
+    } else {
+      // forwardenlarge
+      stop = curr[ci].end;
+      bool isbreak = false;
+      for (int k = (int)back_intv.size() - 1; k >= 0; --k) {
+        ik = back_intv[k];
+        for (int m = start + 1; m <= stop; ++m) {
+          // bases in (start, stop] are always < 4 (curr intervals end
+          // before any N); clamp mirrors the oracle's ok[-1] == ok[3]
+          int c = seq[m - 1] < 4 ? 3 - seq[m - 1] : 3;
+          smem_extend(ix, ik, 0, ok);
+          if (ok[c].s < min_intv) break;
+          int32_t st0 = ik.start, en0 = ik.end;
+          ik = ok[c];
+          ik.start = st0; ik.end = en0;
+          if (m == stop) {
+            ik.start = x - k;
+            ik.end = curr[ci].end;
+            isbreak = true;
+          }
+        }
+        if (isbreak) {
+          if ((x - k) > temp.start && temp.end - temp.start >= min_seed_len) {
+            mem.push_back(temp);
+            temp = ik;
+          } else temp = ik;
+          break;
+        }
+      }
+    }
+    ci++;
+    if (ci < curr.size()) {
+      long max_len = temp.start + curr[ci].end;
+      while (max_len < min_seed_len && ci < curr.size()) {
+        ci++;
+        if (ci < curr.size()) stop = curr[ci].end;
+        max_len = temp.start + stop;
+      }
+    }
+    if (ci >= curr.size() && have_temp && temp.end - temp.start >= min_seed_len)
+      mem.push_back(temp);
+  }
+  return ret;
+}
+
+// 3rd-pass LAST-like seed (bwt_seed_strategy1 semantics)
+static int seed_strategy1_native(
+    const SmemIdx& ix, const uint8_t* seq, int ln, int x, int min_len,
+    int64_t max_intv, Intv* out, bool* found) {
+  *found = false;
+  if (seq[x] > 3) return x + 1;
+  Intv ik = set_intv(ix, seq[x]);
+  Intv ok[4];
+  for (int i = x + 1; i < ln; ++i) {
+    if (seq[i] < 4) {
+      int c = 3 - seq[i];
+      smem_extend(ix, ik, 0, ok);
+      if (ok[c].s < max_intv && i - x >= min_len) {
+        *out = ok[c];
+        out->start = x; out->end = i + 1;
+        *found = true;
+        return i + 1;
+      }
+      ik.x0 = ok[c].x0; ik.x1 = ok[c].x1; ik.s = ok[c].s;
+    } else {
+      return i + 1;
+    }
+  }
+  return ln;
+}
+
+}  // namespace
+
+extern "C" {
+
+void smem_collect_batch_native(
+    const int32_t* tbl, int64_t nblk, int64_t primary, const int64_t* l2,
+    const uint8_t* seqs, const int64_t* soffs, const int32_t* slens,
+    int32_t batch,
+    int32_t min_seed_len, int32_t split_len, int32_t split_width,
+    int32_t max_mem_intv, int32_t max_out,
+    int64_t* out_mem,  // (batch, max_out, 5): x0 x1 s start end
+    int32_t* out_n) {
+  SmemIdx ix{tbl, nblk, primary, l2};
+#pragma omp parallel
+  {
+    std::vector<Intv> mem;
+#pragma omp for schedule(dynamic, 8)
+    for (int32_t b = 0; b < batch; ++b) {
+      const uint8_t* seq = seqs + soffs[b];
+      int ln = slens[b];
+      mem.clear();
+      // pass 1: all SMEMs
+      int x = 0;
+      while (x < ln) {
+        if (seq[x] < 4)
+          x = smem1a_fwdback_native(ix, seq, ln, x, 1, min_seed_len, mem);
+        else x++;
+      }
+      // pass 2: re-seed long low-occurrence SMEMs from their midpoint
+      size_t old_n = mem.size();
+      for (size_t k = 0; k < old_n; ++k) {
+        Intv p = mem[k];
+        if (p.end - p.start < split_len || p.s > split_width) continue;
+        smem1a_fwdback_native(ix, seq, ln, (p.start + p.end) >> 1, p.s + 1,
+                              min_seed_len, mem);
+      }
+      // pass 3: LAST-like
+      x = 0;
+      while (x < ln) {
+        if (seq[x] < 4) {
+          Intv iv; bool found;
+          x = seed_strategy1_native(ix, seq, ln, x, min_seed_len,
+                                    max_mem_intv, &iv, &found);
+          if (found && iv.s > 0) mem.push_back(iv);
+        } else x++;
+      }
+      int n = (int)mem.size();
+      out_n[b] = n;
+      int lim = n < max_out ? n : max_out;
+      int64_t* om = out_mem + (int64_t)b * max_out * 5;
+      for (int j = 0; j < lim; ++j) {
+        om[j * 5 + 0] = mem[j].x0;
+        om[j * 5 + 1] = mem[j].x1;
+        om[j * 5 + 2] = mem[j].s;
+        om[j * 5 + 3] = mem[j].start;
+        om[j * 5 + 4] = mem[j].end;
+      }
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BWA-MEM banded seed extension, native host engine (ksw_extend2 loop —
+// the production-speed CPU fallback for the role of the reference's
+// sw_extend, bwa-sw/sdaccel/smithwaterman.cpp:75-273).  Scoring is a
+// runtime argument; results are bit-identical to the NumPy oracle.
+// out: (batch, 7) int32 = score qle tle gtle gscore max_off w.
+// ---------------------------------------------------------------------------
+
+void sw_extend_batch_native(
+    const uint8_t* q, const int64_t* qoffs, const int32_t* qlens,
+    const uint8_t* t, const int64_t* toffs, const int32_t* tlens,
+    const int32_t* h0s, int32_t batch,
+    int32_t o_del, int32_t e_del, int32_t o_ins, int32_t e_ins,
+    int32_t w_in, int32_t sc_match, int32_t sc_mismatch, int32_t sc_ambig,
+    int32_t* out) {
+  int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+#pragma omp parallel
+  {
+    std::vector<int32_t> eh_h, eh_e;
+#pragma omp for schedule(dynamic, 16)
+    for (int32_t b = 0; b < batch; ++b) {
+      int qlen = qlens[b], tlen = tlens[b];
+      int32_t h0 = h0s[b];
+      const uint8_t* pq = q + qoffs[b];
+      const uint8_t* pt = t + toffs[b];
+      int max_ins = qlen, max_del = qlen;
+      eh_h.assign(qlen + 2, 0);
+      eh_e.assign(qlen + 2, 0);
+      long max_score = h0;
+      int max_i = -1, max_j = -1, max_ie = -1;
+      long gscore = -1;
+      int max_off = 0;
+      long reg_score = h0;
+      int aw_tmp = w_in;
+      for (int k = 0; k < 2; ++k) {
+        long prev = reg_score;
+        aw_tmp = w_in << k;
+        int aw1 = std::min(aw_tmp, std::min(max_ins, max_del));
+        int beg = 0, end = qlen;
+        long tmp_eme = std::max((long)h0 - oe_ins, 0L);
+        long h1_init = (long)h0 - o_del;
+        for (int i = 0; i < tlen; ++i) {
+          long f = 0, m = 0;
+          int mj = -1;
+          uint8_t q_i = pt[i];
+          if (beg < i - aw1) beg = i - aw1;
+          if (end > i + aw1 + 1) end = i + aw1 + 1;
+          if (end > qlen) end = qlen;
+          long h1;
+          if (beg == 0) { h1_init -= e_del; h1 = std::max(h1_init, 0L); }
+          else h1 = 0;
+          int backw_tmp = 0, forw_tmp = 0;
+          bool forw_update = false;
+          for (int j = beg; j < end; ++j) {
+            uint8_t q_j = pq[j];
+            long h_tmp = eh_h[j], e_tmp = eh_e[j];
+            long e, h, M;
+            if (i == 0) {
+              e = 0;
+              if (j == 0) h = M = h0;
+              else if (j == 1) h = M = tmp_eme;
+              else { tmp_eme = std::max(tmp_eme - e_ins, 0L); h = M = tmp_eme; }
+            } else { e = e_tmp; h = M = h_tmp; }
+            long h1_reg = h1;
+            long sc = (q_i >= 4 || q_j >= 4) ? sc_ambig
+                      : (q_i == q_j ? sc_match : sc_mismatch);
+            M = (M != 0) ? M + sc : 0;
+            h = std::max(std::max(M, e), f);
+            h1 = h;
+            long tt = std::max(M - oe_del, 0L);
+            e = std::max(e - e_del, tt);
+            tt = std::max(M - oe_ins, 0L);
+            f = std::max(f - e_ins, tt);
+            eh_e[j] = (int32_t)e;
+            eh_h[j] = (int32_t)h1_reg;
+            if (m <= h) { mj = j; m = h; }
+            if (!forw_update) {
+              if (h1_reg == 0 && e == 0) forw_tmp++;
+              else forw_update = true;
+            }
+            if (h1_reg == 0 && e == 0) backw_tmp++;
+            else backw_tmp = 0;
+          }
+          eh_h[end] = (int32_t)h1;
+          eh_e[end] = 0;
+          if (h1 == 0) backw_tmp++;
+          else backw_tmp = 0;
+          if (end == qlen) {
+            if (gscore <= h1) { max_ie = i; gscore = h1; }
+          }
+          if (m == 0) break;
+          if (m > max_score) {
+            max_score = m; max_i = i; max_j = mj;
+            if (max_off < std::abs(mj - i)) max_off = std::abs(mj - i);
+          }
+          beg = beg + forw_tmp;
+          end = (end - backw_tmp + 2 < qlen) ? end - backw_tmp + 2 : qlen;
+        }
+        reg_score = max_score;
+        if (max_score == prev || max_off < ((aw_tmp >> 1) + (aw_tmp >> 2)))
+          break;
+      }
+      int32_t* o = out + (int64_t)b * 7;
+      o[0] = (int32_t)reg_score;
+      o[1] = max_j + 1;
+      o[2] = max_i + 1;
+      o[3] = max_ie + 1;
+      o[4] = (int32_t)gscore;
+      o[5] = max_off;
+      o[6] = aw_tmp;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PairHMM byte-plane packing: the engine's TPU path uploads raw uint8
+// qual/base planes and computes coefficients on device, so packing is
+// pure memcpy + fill — the host side of pack_pairhmm_quals
+// (ops/pairhmm/pack.py) without the Python per-pair loop.
+// Outputs are time-major (R, B) uint8; hap_ext is (R + C, B).
+// ---------------------------------------------------------------------------
+
+void pairhmm_pack_quals(
+    const uint8_t* rs, const uint8_t* q, const uint8_t* iq, const uint8_t* dq,
+    const uint8_t* cq, const int64_t* offs, const int32_t* lens,
+    const uint8_t* hap, const int64_t* hoffs, const int32_t* hlens,
+    int32_t batch, int32_t rows, int32_t cols, uint8_t hap_pad,
+    uint8_t* oq, uint8_t* oi, uint8_t* od, uint8_t* oc, uint8_t* ors,
+    uint8_t* ohap) {
+  const int64_t stride = batch;
+  const int64_t ndiag = (int64_t)rows + cols;
+  // stage pair-major (contiguous memcpy per pair), then transpose in
+  // 64x64 tiles — a direct time-major scatter is a cache-line miss per
+  // byte at batch-sized strides
+  const int TILE = 64;
+  struct Plane { const uint8_t* src; uint8_t* dst; int64_t nrow; uint8_t pad; };
+  Plane planes[6] = {
+      {q, oq, rows, 0}, {iq, oi, rows, 0}, {dq, od, rows, 0},
+      {cq, oc, rows, 0}, {rs, ors, rows, 0}, {hap, ohap, ndiag, hap_pad},
+  };
+#pragma omp parallel
+  {
+    std::vector<uint8_t> stage;
+    for (int p = 0; p < 6; ++p) {
+      const bool is_hap = p == 5;
+      const int64_t nrow = planes[p].nrow;
+      stage.resize((size_t)TILE * nrow);
+#pragma omp for schedule(dynamic, 1) nowait
+      for (int32_t b0 = 0; b0 < batch; b0 += TILE) {
+        int bw = std::min((int32_t)TILE, batch - b0);
+        std::memset(stage.data(), planes[p].pad, (size_t)bw * nrow);
+        for (int bb = 0; bb < bw; ++bb) {
+          int32_t bidx = b0 + bb;
+          int32_t len = is_hap ? hlens[bidx] : lens[bidx];
+          const int64_t o = is_hap ? hoffs[bidx] : offs[bidx];
+          if (len > 0)
+            std::memcpy(stage.data() + (size_t)bb * nrow,
+                        planes[p].src + o, len);
+        }
+        // transpose stage (bw, nrow) -> dst rows [0, nrow) at cols b0..
+        uint8_t* dst = planes[p].dst;
+        for (int64_t r0 = 0; r0 < nrow; r0 += TILE) {
+          int rw = (int)std::min((int64_t)TILE, nrow - r0);
+          for (int bb = 0; bb < bw; ++bb) {
+            const uint8_t* srow = stage.data() + (size_t)bb * nrow + r0;
+            uint8_t* dcol = dst + r0 * stride + b0 + bb;
+            for (int r = 0; r < rw; ++r) dcol[(int64_t)r * stride] = srow[r];
+          }
+        }
+      }
+#pragma omp barrier
+    }
+  }
+}
+
 }  // extern "C" (reopened below for the PairHMM forward exports)
 
 // ---------------------------------------------------------------------------

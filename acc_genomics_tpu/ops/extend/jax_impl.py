@@ -26,13 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from acc_genomics_tpu.ops.extend.reference import (
-    E_DEL,
-    E_INS,
-    MAT,
-    O_DEL,
-    O_INS,
+    DEFAULT_EXTEND_PARAMS,
+    ExtendParams,
     PEN_CLIP,
-    W_IN,
 )
 
 I32 = jnp.int32
@@ -52,20 +48,27 @@ def _cummax_log(u):
     return u
 
 
-@functools.partial(jax.jit, static_argnames=())
-def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
+@functools.partial(jax.jit, static_argnames=("params",))
+def sw_extend_batch(
+    q_tm, t_tm, qlen, tlen, h0, max_ins, max_del,
+    params: ExtendParams = DEFAULT_EXTEND_PARAMS,
+):
     """Banded extension for a batch of tasks.
 
     q_tm: (Q, B) int32 query codes (pad 4)
     t_tm: (T, B) int32 target codes
     qlen/tlen/h0/max_ins/max_del: (B,) int32
+    params: static scoring options (mem_opt_t analog)
     Returns dict of (B,) int32: score qle tle gtle gscore max_off w.
     """
+    O_DEL, E_DEL, O_INS, E_INS = (
+        params.o_del, params.e_del, params.o_ins, params.e_ins
+    )
+    W_IN = params.w
     Q, bsz = q_tm.shape
     T = t_tm.shape[0]
     oe_del = O_DEL + E_DEL
     oe_ins = O_INS + E_INS
-    mat = jnp.asarray(MAT, I32)
 
     jj = jnp.arange(Q, dtype=I32)[:, None]  # (Q, 1) column index
     # score of query base j against a given target base, per row: gather
@@ -114,11 +117,11 @@ def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
             amb = (tb >= 4) | (q_tm >= 4)
             sc = jnp.where(
                 amb,
-                jnp.asarray(int(MAT[0, 4]), I32),
+                jnp.asarray(params.sc_ambig, I32),
                 jnp.where(
                     tb == q_tm,
-                    jnp.asarray(int(MAT[0, 0]), I32),
-                    jnp.asarray(int(MAT[0, 1]), I32),
+                    jnp.asarray(params.sc_match, I32),
+                    jnp.asarray(params.sc_mismatch, I32),
                 ),
             )
             m_in = jnp.where(i == 0, row0_m, eh_h[:Q])
@@ -268,7 +271,10 @@ def sw_extend_batch(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
     )
 
 
-def extend_tasks_batch(tasks, max_q: int, max_t: int) -> Dict[str, np.ndarray]:
+def extend_tasks_batch(
+    tasks, max_q: int, max_t: int,
+    params: ExtendParams = DEFAULT_EXTEND_PARAMS,
+) -> Dict[str, np.ndarray]:
     """tasks: list of dicts with query/target nt4 arrays and h0.
     Pads and runs the batched extension; returns dict of (B,) arrays."""
     bsz = len(tasks)
@@ -289,5 +295,6 @@ def extend_tasks_batch(tasks, max_q: int, max_t: int) -> Dict[str, np.ndarray]:
     res = sw_extend_batch(
         jnp.asarray(q_tm), jnp.asarray(t_tm), jnp.asarray(qlen),
         jnp.asarray(tlen), jnp.asarray(h0), jnp.asarray(qlen), jnp.asarray(qlen),
+        params=params,
     )
     return {k: np.asarray(v) for k, v in res.items()}

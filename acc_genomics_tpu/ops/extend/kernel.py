@@ -37,20 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from acc_genomics_tpu.ops.extend.reference import (
-    E_DEL,
-    E_INS,
-    MAT,
-    O_DEL,
-    O_INS,
-    W_IN,
+    DEFAULT_EXTEND_PARAMS,
+    ExtendParams,
 )
 
 LANES = 128
 I32 = jnp.int32
 NEG = -(1 << 29)
-SC_MATCH = int(MAT[0, 0])
-SC_MISMATCH = int(MAT[0, 1])
-SC_AMB = int(MAT[0, 4])
 
 
 def _extend_kernel(
@@ -58,7 +51,15 @@ def _extend_kernel(
     q_ref, t_ref, qlen_ref, tlen_ref, h0_ref, maxins_ref, maxdel_ref,
     score_out, qle_out, tle_out, gtle_out, gscore_out, moff_out, w_out,
     ehh_buf, ehe_buf, reg_buf,
+    *, params: ExtendParams,
 ):
+    O_DEL, E_DEL, O_INS, E_INS = (
+        params.o_del, params.e_del, params.o_ins, params.e_ins
+    )
+    W_IN = params.w
+    SC_MATCH, SC_MISMATCH, SC_AMB = (
+        params.sc_match, params.sc_mismatch, params.sc_ambig
+    )
     # reg_buf rows (all i32; alive/done as 0/1):
     # 0 beg, 1 end, 2 h1_init, 3 alive, 4 max_score, 5 max_i, 6 max_j,
     # 7 max_ie, 8 gscore, 9 max_off — loop state lives in VMEM because
@@ -272,10 +273,11 @@ def _extend_kernel(
     w_out[:] = regs[1]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "params"))
 def sw_extend_pallas(
     q_tm, t_tm, qlen, tlen, h0, max_ins, max_del,
     block_rows=None, interpret=False,
+    params: ExtendParams = DEFAULT_EXTEND_PARAMS,
 ):
     """Pallas banded extension.  Same contract as jax_impl.sw_extend_batch:
     q_tm (Q, B) / t_tm (T, B) int32 codes (pad 4), per-lane (B,) int32
@@ -303,7 +305,7 @@ def sw_extend_pallas(
     out_shape = jax.ShapeDtypeStruct((1, bsz), I32)
 
     outs = pl.pallas_call(
-        _extend_kernel,
+        functools.partial(_extend_kernel, params=params),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
@@ -329,7 +331,9 @@ def sw_extend_pallas(
 
 
 def extend_tasks_pallas(tasks, max_q: int, max_t: int,
-                        interpret: bool = False) -> Dict[str, np.ndarray]:
+                        interpret: bool = False,
+                        params: ExtendParams = DEFAULT_EXTEND_PARAMS,
+                        ) -> Dict[str, np.ndarray]:
     """tasks: list of dicts with query/target nt4 arrays and h0.  Packs
     tlen-sorted into 128-lane blocks with per-block trip counts and runs
     the Pallas extension; returns dict of (len(tasks),) arrays."""
@@ -358,6 +362,7 @@ def extend_tasks_pallas(tasks, max_q: int, max_t: int,
         jnp.asarray(q_tm), jnp.asarray(t_tm), jnp.asarray(qlen),
         jnp.asarray(tlen), jnp.asarray(h0), jnp.asarray(qlen),
         jnp.asarray(qlen), jnp.asarray(block_rows), interpret=interpret,
+        params=params,
     )
     out = {k: np.zeros(n, np.int64) for k in res}
     for j, k in enumerate(perm):

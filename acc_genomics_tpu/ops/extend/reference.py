@@ -23,33 +23,67 @@ drivers compare exact integers):
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import numpy as np
 
-O_DEL = 6
-E_DEL = 1
-O_INS = 6
-E_INS = 1
-PEN_CLIP = 5
-W_IN = 100
+
+class ExtendParams(NamedTuple):
+    """Runtime scoring options — the mem_opt_t analog
+    (smem/host/host_types.h:9-47, bwa-sw/sdaccel/smithwaterman.cpp:29-35).
+    Hashable so jitted kernels take it as a static argument; the defaults
+    are the reference's production constants."""
+
+    o_del: int = 6
+    e_del: int = 1
+    o_ins: int = 6
+    e_ins: int = 1
+    pen_clip: int = 5
+    w: int = 100
+    sc_match: int = 1
+    sc_mismatch: int = -4
+    sc_ambig: int = -1
+
+
+DEFAULT_EXTEND_PARAMS = ExtendParams()
+
+O_DEL = DEFAULT_EXTEND_PARAMS.o_del
+E_DEL = DEFAULT_EXTEND_PARAMS.e_del
+O_INS = DEFAULT_EXTEND_PARAMS.o_ins
+E_INS = DEFAULT_EXTEND_PARAMS.e_ins
+PEN_CLIP = DEFAULT_EXTEND_PARAMS.pen_clip
+W_IN = DEFAULT_EXTEND_PARAMS.w
+
+
+def score_matrix(params: ExtendParams = DEFAULT_EXTEND_PARAMS) -> np.ndarray:
+    """5x5 score matrix over A/C/G/T/N nt4 codes (bwa_fill_scmat)."""
+    mat = np.full((5, 5), params.sc_mismatch, dtype=np.int64)
+    np.fill_diagonal(mat, params.sc_match)
+    mat[4, :] = params.sc_ambig
+    mat[:, 4] = params.sc_ambig
+    return mat
+
 
 # 5x5 score matrix: A/C/G/T/N (nt4 codes)
-MAT = np.full((5, 5), -4, dtype=np.int64)
-np.fill_diagonal(MAT, 1)
-MAT[4, :] = -1
-MAT[:, 4] = -1
+MAT = score_matrix()
 
 
 def sw_extend_oracle(
     query: np.ndarray,
     target: np.ndarray,
     h0: int,
-    w: int = W_IN,
+    w: int | None = None,
     max_ins: int | None = None,
     max_del: int | None = None,
+    params: ExtendParams = DEFAULT_EXTEND_PARAMS,
 ) -> Dict[str, int]:
     """One extension in one direction.  query/target are nt4 codes."""
+    O_DEL, E_DEL, O_INS, E_INS = (
+        params.o_del, params.e_del, params.o_ins, params.e_ins
+    )
+    MAT = score_matrix(params)
+    if w is None:
+        w = params.w
     qlen, tlen = len(query), len(target)
     if max_ins is None:
         max_ins = qlen
@@ -178,6 +212,7 @@ def extend_seed_oracle(
     seed_qbeg: int,
     seed_rbeg_off: int,
     seed_len: int,
+    params: ExtendParams = DEFAULT_EXTEND_PARAMS,
 ) -> Dict[str, int]:
     """Left+right extension of a seed, resolving alignment coordinates
     (seed_proc semantics).
@@ -198,15 +233,17 @@ def extend_seed_oracle(
     q_beg, q_end = 0, len(right_q)
     r_beg, r_end = 0, 0
     true_score = reg_score
-    aw = [W_IN, W_IN]
+    aw = [params.w, params.w]
 
     for side, (q, t) in enumerate(((left_q, left_t), (right_q, right_t))):
         sc0 = reg_score
         h0_side = h0 if side == 0 else sc0
-        res = sw_extend_oracle(q, t, h0_side, max_ins=len(q), max_del=len(q))
+        res = sw_extend_oracle(
+            q, t, h0_side, max_ins=len(q), max_del=len(q), params=params
+        )
         reg_score = res["score"]
         aw[side] = res["w"]
-        if res["gscore"] <= 0 or res["gscore"] <= reg_score - PEN_CLIP:
+        if res["gscore"] <= 0 or res["gscore"] <= reg_score - params.pen_clip:
             if side == 0:
                 q_beg = seed_qbeg - res["qle"]
                 r_beg = -res["tle"]

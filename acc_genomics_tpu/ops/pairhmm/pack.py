@@ -236,6 +236,19 @@ def pack_pairhmm_quals(
     b = n_real
     if pad_lanes and b % lane_multiple:
         b += lane_multiple - b % lane_multiple
+    # native memcpy/transpose packer (bit-identical to the loop below,
+    # asserted in tests) — the Python per-pair loop is the measured
+    # engine-e2e bottleneck at large batches (PERF_NOTES host/runtime)
+    from acc_genomics_tpu import native
+
+    packed = native.pairhmm_pack_quals_native(
+        testcases, rows, cols, HAP_PAD, pad_to=b
+    )
+    if packed is not None:
+        q, i_, d, c, rs, hap_ext, rslen, haplen = packed
+        return PackedPairHMMQuals(
+            q, i_, d, c, rs, hap_ext, rslen, haplen, n_real, perm
+        )
     shape = (rows, b)
     q = np.zeros(shape, np.uint8)
     i_ = np.zeros(shape, np.uint8)

@@ -37,14 +37,12 @@ import numpy as np
 
 from acc_genomics_tpu.ops.smem.index import FMIndex, OCC_INTERVAL
 from acc_genomics_tpu.ops.smem.reference import (
-    MAX_MEM_INTV,
-    MIN_SEED_LEN,
-    SPLIT_LEN,
-    SPLIT_WIDTH,
+    DEFAULT_SMEM_PARAMS,
+    SmemParams,
 )
 
 I32 = jnp.int32
-MAX_OUT = 256  # MAX_INTV_ALLOC
+MAX_OUT = DEFAULT_SMEM_PARAMS.max_intv_alloc  # MAX_INTV_ALLOC default
 
 # states
 S_P1_NEXTX = 0  # pass-1 driver: advance x to next base, enter FWD
@@ -146,14 +144,26 @@ def _pick(c, arr4):
     return jnp.sum(jnp.where(io == cc, arr4, 0), axis=1, dtype=I32)
 
 
-def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
+def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
+                         params: SmemParams = DEFAULT_SMEM_PARAMS):
     """Batched 3-pass SMEM collection via the flat state machine.
 
     seq_tm: (L, B) int32 read codes (pad 4), time-major; lens: (B,)
-    Returns (mem arrays (MAX_OUT, B) x5, mem_n (B,)).
+    params: static runtime options (mem_opt_t analog)
+    Returns (mem arrays (max_intv_alloc, B) x5, mem_n (B,)).
     """
+    MIN_SEED_LEN = params.min_seed_len
+    SPLIT_LEN = params.split_len
+    SPLIT_WIDTH = params.split_width
+    MAX_MEM_INTV = params.max_mem_intv
+    MAX_OUT = params.max_intv_alloc
     L, B = seq_tm.shape
-    LB = L + 1
+    # curr/back buffer rows: the while-carry traffic on the (rows, B)
+    # interval buffers dominates the per-iteration cost, so they are
+    # capped below the worst case (one break interval per base).  Lanes
+    # whose chains outgrow the cap are flagged and rerun on the host —
+    # the same graceful-degradation contract as interval overflow.
+    LB = min(L + 1, max(params.curr_cap, 8))
     seq_tm = seq_tm.astype(I32)  # hosts upload uint8; the cast is free
     if max_iters is None:
         # total probes+transitions per read is bounded by a small multiple
@@ -174,11 +184,12 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
     init = dict(
         st=jnp.where(ln > 0, S_P1_NEXTX, S_DONE).astype(I32),
         x=zb, i=zb, ic=zb, k=zb, m=zb,
-        mode=zb + 1, min_intv=zb + 1,
+        min_intv=zb + 1,
         p2_k=zb, p2_old_n=zb,
         curr_n=zb, back_n=zb, mem_n=zb,
         start=zb, stop=zb, ret=zb,
         skip_first=zb > 0,
+        bust=zb > 0,  # curr/back chain outgrew the capped buffers
         ik0=zb, ik1=zb, iks=zb, ikst=zb, iken=zb,
         t0=zb, t1=zb, t2=zb, t3=zb, t4=zb,
         cu0=zeros_lb, cu1=zeros_lb, cu2=zeros_lb, cu3=zeros_lb16,  # x0,x1,s,end
@@ -199,54 +210,315 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
     def cond(s):
         return jnp.any(s["st"] != S_DONE) & (s["iters"] < max_iters)
 
-    def body(s):
+    # The machine runs as THREE sequential while_loops — one per
+    # mem_collect_intv pass — instead of one flat loop over all 12
+    # states.  Rationale (measured): the per-iteration cost is dominated
+    # by elementwise work + carry traffic over the (rows, B) buffers, so
+    # each phase's body only touches the buffers its states can reach:
+    # pass 1 never reads mem rows, pass 3 (the LAST-like scan) needs no
+    # curr/back machinery at all.  Lanes still advance one probe per
+    # iteration within each phase; iteration counts are unchanged, the
+    # bodies just shrink.
+
+    def make_body(phase):
+        """smem1a machinery + its pass driver (phase 1 or 2)."""
+        p1 = phase == 1
+
+        def body(s):
+            st = s["st"]
+            is_drv = st == (S_P1_NEXTX if p1 else S_P2_NEXT)
+            is_fwd = st == S_FWD
+            is_bst = st == S_BSTART
+            is_bck = st == S_BACK
+            is_bpo = st == S_BACK_POST
+            is_fek = st == S_FWDE_K
+            is_fem = st == S_FWDE_M
+            is_skp = st == S_SKIP
+
+            # ---- shared reads ---------------------------------------------
+            # curr row: BSTART reads interval ic; BACK_POST reads next end
+            # (ic+1); SKIP reads end at ic
+            curr_row = jnp.where(is_bpo, s["ic"] + 1, s["ic"])
+            c_x0 = _read_row(s["cu0"], curr_row)
+            c_x1 = _read_row(s["cu1"], curr_row)
+            c_s = _read_row(s["cu2"], curr_row)
+            c_end = _read_row(s["cu3"], curr_row)
+            # back row k (FWDE_K)
+            b_x0 = _read_row(s["bk0"], s["k"])
+            b_x1 = _read_row(s["bk1"], s["k"])
+            b_s = _read_row(s["bk2"], s["k"])
+            b_st = _read_row(s["bk3"], s["k"])
+            b_en = _read_row(s["bk4"], s["k"])
+            if not p1:
+                # mem row p2_k (pass-2 driver only)
+                p_s = _read_row(s["mm2"], s["p2_k"])
+                p_st = _read_row(s["mm3"], s["p2_k"])
+                p_en = _read_row(s["mm4"], s["p2_k"])
+                mid = (p_st + p_en) >> 1
+
+            # one sequence read per lane, position selected by state
+            pos = jnp.where(is_fwd, s["i"], s["x"])
+            pos = jnp.where(is_bck, s["k"], pos)
+            pos = jnp.where(is_fem, s["m"] - 1, pos)
+            if not p1:
+                pos = jnp.where(is_drv, mid, pos)
+            rd = seq_at(pos)
+            rd_is_base = rd < 4
+
+            # ---- the one batched probe (bwt_manager analog) ----------------
+            o0, o1, osz = _extend_batch(
+                idx, s["ik0"], s["ik1"], s["iks"], is_bck
+            )
+            # forward states consume complement base, backward the base
+            c_fwd = 3 - rd
+            oc0f, oc1f, ocsf = _pick(c_fwd, o0), _pick(c_fwd, o1), _pick(c_fwd, osz)
+            oc0b, oc1b, ocsb = _pick(rd, o0), _pick(rd, o1), _pick(rd, osz)
+
+            n = dict(s)
+            n["iters"] = s["iters"] + 1
+
+            def upd(key, mask, val):
+                n[key] = jnp.where(mask, val, n[key])
+
+            # helper: push current values into curr buffers (overflowing
+            # the capped buffer flags the lane for host rerun)
+            def push_curr(mask, v0, v1, v2, v3):
+                slot = jnp.minimum(s["curr_n"], LB - 1)
+                n["cu0"] = _write_row(n["cu0"], slot, v0, mask)
+                n["cu1"] = _write_row(n["cu1"], slot, v1, mask)
+                n["cu2"] = _write_row(n["cu2"], slot, v2, mask)
+                n["cu3"] = _write_row(n["cu3"], slot, v3, mask)
+                upd("curr_n", mask, s["curr_n"] + 1)
+                n["bust"] = n["bust"] | (mask & (s["curr_n"] >= LB))
+                upd("ret", mask, v3)  # ret = end of last pushed break intv
+
+            # helper: push temp into mem (count past cap -> overflow flag)
+            def push_mem(mask, v0, v1, v2, v3, v4, nkey="mem_n"):
+                cnt = n[nkey]
+                slot = jnp.minimum(cnt, MAX_OUT - 1)
+                w = mask & (cnt < MAX_OUT)
+                n["mm0"] = _write_row(n["mm0"], slot, v0, w)
+                n["mm1"] = _write_row(n["mm1"], slot, v1, w)
+                n["mm2"] = _write_row(n["mm2"], slot, v2, w)
+                n["mm3"] = _write_row(n["mm3"], slot, v3, w)
+                n["mm4"] = _write_row(n["mm4"], slot, v4, w)
+                n[nkey] = jnp.where(mask, cnt + 1, cnt)
+
+            ix0 = jnp.take(l2, jnp.clip(rd, 0, 3)) + 1
+            ix1 = jnp.take(l2, jnp.clip(3 - rd, 0, 3)) + 1
+            isz = jnp.take(l2, jnp.clip(rd, 0, 3) + 1) - jnp.take(
+                l2, jnp.clip(rd, 0, 3)
+            )
+
+            if p1:
+                # ================= S_P1_NEXTX =================
+                p1_done = is_drv & (s["x"] >= ln)
+                p1_enter = is_drv & (s["x"] < ln) & rd_is_base
+                p1_step = is_drv & (s["x"] < ln) & ~rd_is_base
+                upd("st", p1_done, jnp.full_like(st, S_DONE))
+                # -> enter smem1a at x (min_intv=1): init FWD
+                enter_any = p1_enter
+                upd("st", p1_enter, jnp.full_like(st, S_FWD))
+                upd("min_intv", p1_enter, jnp.ones_like(zb))
+                upd("x", p1_step, s["x"] + 1)
+                new_x = s["x"]
+            else:
+                # ================= S_P2_NEXT =================
+                p2_done = is_drv & (s["p2_k"] >= s["p2_old_n"])
+                p2_live = is_drv & (s["p2_k"] < s["p2_old_n"])
+                qual = (
+                    (p_en - p_st >= SPLIT_LEN)
+                    & (p_s <= SPLIT_WIDTH)
+                    & (s["p2_k"] < MAX_OUT)
+                )
+                p2_enter = p2_live & qual & rd_is_base  # rd = seq[mid]
+                p2_step = p2_live & ~(qual & rd_is_base)
+                upd("st", p2_done, jnp.full_like(st, S_DONE))
+                upd("st", p2_enter, jnp.full_like(st, S_FWD))
+                upd("x", p2_enter, mid)
+                upd("min_intv", p2_enter, p_s + 1)
+                upd("p2_k", p2_enter | p2_step, s["p2_k"] + 1)
+                enter_any = p2_enter
+                new_x = jnp.where(p2_enter, mid, s["x"])
+
+            # shared smem1a-entry register init (x already set per path)
+            upd("i", enter_any, new_x + 1)
+            upd("curr_n", enter_any, zb)
+            upd("back_n", enter_any, zb)
+            upd("ik0", enter_any, ix0)
+            upd("ik1", enter_any, ix1)
+            upd("iks", enter_any, isz)
+            upd("ikst", enter_any, zb)
+            upd("iken", enter_any, new_x + 1)
+            upd("start", enter_any, new_x)
+            upd("stop", enter_any, new_x)
+
+            # ================= S_FWD =================
+            fwd_end = is_fwd & ((s["i"] >= ln) | ~rd_is_base)  # exhausted or N
+            fwd_ext = is_fwd & (s["i"] < ln) & rd_is_base
+            changed = ocsf != s["iks"]
+            fwd_brk = fwd_ext & changed & (ocsf < s["min_intv"])
+            fwd_go = fwd_ext & ~fwd_brk
+            # pushes: at end/N push current ik; on change push current ik too
+            push_curr(
+                fwd_end | (fwd_ext & changed),
+                s["ik0"], s["ik1"], s["iks"], s["iken"],
+            )
+            # advance ik on non-break extension
+            upd("ik0", fwd_go, oc0f)
+            upd("ik1", fwd_go, oc1f)
+            upd("iks", fwd_go, ocsf)
+            upd("iken", fwd_go, s["i"] + 1)
+            upd("i", fwd_go, s["i"] + 1)
+            # to backward phase
+            to_back = fwd_end | fwd_brk
+            upd("st", to_back, jnp.full_like(st, S_BSTART))
+            upd("ic", to_back, zb)
+            # start/stop already x from entry init
+
+            # ================= S_BSTART =================
+            use_back = (s["back_n"] == 0) | (s["stop"] - s["start"] >= 3)
+            bst_back = is_bst & use_back
+            bst_fwde = is_bst & ~use_back
+            upd("ik0", is_bst, c_x0)
+            upd("ik1", is_bst, c_x1)
+            upd("iks", is_bst, c_s)
+            upd("ikst", is_bst, s["x"])
+            upd("iken", is_bst, c_end)
+            # backenlarge: back = [ik]; k = x-1  (the bk write itself is
+            # merged with S_BACK's below — exclusive states)
+            upd("back_n", bst_back, jnp.ones_like(zb))
+            upd("k", bst_back, s["x"] - 1)
+            upd("st", bst_back, jnp.full_like(st, S_BACK))
+            # forwardenlarge: stop = curr[ic].end; k = back_n - 1
+            upd("stop", bst_fwde, c_end)
+            upd("k", bst_fwde, s["back_n"] - 1)
+            upd("st", bst_fwde, jnp.full_like(st, S_FWDE_K))
+
+            # ================= S_BACK =================
+            bck_ok = is_bck & rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"])
+            bck_stop = is_bck & ~(rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"]))
+            upd("ik0", bck_ok, oc0b)
+            upd("ik1", bck_ok, oc1b)
+            upd("iks", bck_ok, ocsb)
+            upd("ikst", bck_ok, s["k"])
+            # iken unchanged (= curr[ic].end); merged bk write (one masked
+            # write for both the BSTART seed row and BACK's append)
+            slot_b = jnp.minimum(s["back_n"], LB - 1)
+            bk_mask = bst_back | bck_ok
+            bk_row = jnp.where(bst_back, zb, slot_b)
+            n["bk0"] = _write_row(n["bk0"], bk_row, jnp.where(bst_back, c_x0, oc0b), bk_mask)
+            n["bk1"] = _write_row(n["bk1"], bk_row, jnp.where(bst_back, c_x1, oc1b), bk_mask)
+            n["bk2"] = _write_row(n["bk2"], bk_row, jnp.where(bst_back, c_s, ocsb), bk_mask)
+            n["bk3"] = _write_row(n["bk3"], bk_row, jnp.where(bst_back, s["x"], s["k"]), bk_mask)
+            n["bk4"] = _write_row(n["bk4"], bk_row, jnp.where(bst_back, c_end, s["iken"]), bk_mask)
+            upd("back_n", bck_ok, s["back_n"] + 1)
+            n["bust"] = n["bust"] | (bck_ok & (s["back_n"] >= LB))
+            upd("k", bck_ok, s["k"] - 1)
+            upd("st", bck_stop, jnp.full_like(st, S_BACK_POST))
+
+            # ================= S_BACK_POST =================
+            # start = curr[ic].end (== iken); stop = curr[ic+1].end or ln
+            upd("start", is_bpo, s["iken"])
+            upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, ln))
+            t_len = s["t4"] - s["t3"]
+            bpo_push = is_bpo & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
+            # (mem pushes from all states merge into one masked write below)
+            # temp = ik (all back-post paths)
+            for tk_, ik_ in (("t0", "ik0"), ("t1", "ik1"), ("t2", "iks"), ("t3", "ikst"), ("t4", "iken")):
+                upd(tk_, is_bpo, s[ik_])
+            upd("ic", is_bpo, s["ic"] + 1)
+            upd("skip_first", is_bpo, jnp.ones(B, bool))
+            upd("st", is_bpo, jnp.full_like(st, S_SKIP))
+
+            # ================= S_FWDE_K =================
+            fek_done = is_fek & (s["k"] < 0)
+            fek_go = is_fek & (s["k"] >= 0)
+            upd("ic", fek_done, s["ic"] + 1)
+            upd("skip_first", fek_done, jnp.ones(B, bool))
+            upd("st", fek_done, jnp.full_like(st, S_SKIP))
+            upd("ik0", fek_go, b_x0)
+            upd("ik1", fek_go, b_x1)
+            upd("iks", fek_go, b_s)
+            upd("ikst", fek_go, b_st)
+            upd("iken", fek_go, b_en)
+            upd("m", fek_go, s["start"] + 1)
+            upd("st", fek_go, jnp.full_like(st, S_FWDE_M))
+
+            # ================= S_FWDE_M =================
+            fem_fail = is_fem & (ocsf < s["min_intv"])
+            fem_ok = is_fem & ~(ocsf < s["min_intv"])
+            at_stop = fem_ok & (s["m"] == s["stop"])
+            # inner-loop failure: k -= 1, back to FWDE_K
+            upd("k", fem_fail, s["k"] - 1)
+            upd("st", fem_fail, jnp.full_like(st, S_FWDE_K))
+            # successful extension
+            upd("ik0", fem_ok, oc0f)
+            upd("ik1", fem_ok, oc1f)
+            upd("iks", fem_ok, ocsf)
+            upd("m", fem_ok & ~at_stop, s["m"] + 1)
+            # reached stop: finalize interval, temp/mem logic, next interval
+            nw_st = s["x"] - s["k"]
+            upd("ikst", at_stop, nw_st)
+            upd("iken", at_stop, s["stop"])
+            fem_push = at_stop & (nw_st > s["t3"]) & (t_len >= MIN_SEED_LEN)
+            upd("t0", at_stop, oc0f)
+            upd("t1", at_stop, oc1f)
+            upd("t2", at_stop, ocsf)
+            upd("t3", at_stop, nw_st)
+            upd("t4", at_stop, s["stop"])
+            upd("ic", at_stop, s["ic"] + 1)
+            upd("skip_first", at_stop, jnp.ones(B, bool))
+            upd("st", at_stop, jnp.full_like(st, S_SKIP))
+
+            # ================= S_SKIP =================
+            skp_done = is_skp & (s["ic"] >= s["curr_n"])
+            skp_live = is_skp & ~skp_done
+            # final push of the trailing temp, then exit to this pass's driver
+            fin_push = skp_done & (s["t4"] - s["t3"] >= MIN_SEED_LEN)
+            if p1:
+                upd("x", skp_done, s["ret"])
+                upd("st", skp_done, jnp.full_like(st, S_P1_NEXTX))
+            else:
+                upd("st", skp_done, jnp.full_like(st, S_P2_NEXT))
+            # skip-ahead: stop updates on continuation iterations only
+            upd("stop", skp_live & ~s["skip_first"], c_end)
+            max_len = s["t3"] + c_end
+            skp_more = skp_live & (max_len < MIN_SEED_LEN)
+            skp_exit = skp_live & ~skp_more
+            upd("ic", skp_more, s["ic"] + 1)
+            upd("skip_first", skp_more, jnp.zeros(B, bool))
+            upd("st", skp_exit, jnp.full_like(st, S_BSTART))
+
+            # ---- merged mem push ------------------------------------------
+            # every push site is mutually exclusive (one state per lane per
+            # iteration), so they collapse into ONE masked write over the
+            # (MAX_OUT, B) buffers with the values chosen by (B,) selects
+            push_t = bpo_push | fem_push | fin_push  # all push the temp regs
+            push_mem(push_t, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+
+            return n
+
+        return body
+
+    def body3(s):
+        """Pass 3 (LAST-like scan): no curr/back machinery at all — the
+        carry is just the mem buffers, the ik registers, and the scan
+        positions, so each iteration touches ~1/3 the state of a pass-1
+        step."""
         st = s["st"]
-        is_p1x = st == S_P1_NEXTX
-        is_fwd = st == S_FWD
-        is_bst = st == S_BSTART
-        is_bck = st == S_BACK
-        is_bpo = st == S_BACK_POST
-        is_fek = st == S_FWDE_K
-        is_fem = st == S_FWDE_M
-        is_skp = st == S_SKIP
-        is_p2 = st == S_P2_NEXT
         is_p3x = st == S_P3_NEXTX
         is_p3e = st == S_P3_EXT
 
-        # ---- shared reads --------------------------------------------------
-        # curr row: BSTART reads interval ic; BACK_POST reads next end (ic+1);
-        # SKIP reads end at ic
-        curr_row = jnp.where(is_bpo, s["ic"] + 1, s["ic"])
-        c_x0 = _read_row(s["cu0"], curr_row)
-        c_x1 = _read_row(s["cu1"], curr_row)
-        c_s = _read_row(s["cu2"], curr_row)
-        c_end = _read_row(s["cu3"], curr_row)
-        # back row k (FWDE_K)
-        b_x0 = _read_row(s["bk0"], s["k"])
-        b_x1 = _read_row(s["bk1"], s["k"])
-        b_s = _read_row(s["bk2"], s["k"])
-        b_st = _read_row(s["bk3"], s["k"])
-        b_en = _read_row(s["bk4"], s["k"])
-        # mem row p2_k (P2)
-        p_s = _read_row(s["mm2"], s["p2_k"])
-        p_st = _read_row(s["mm3"], s["p2_k"])
-        p_en = _read_row(s["mm4"], s["p2_k"])
-        mid = (p_st + p_en) >> 1
-
-        # one sequence read per lane, position selected by state
-        pos = jnp.where(is_fwd | is_p3e, s["i"], s["x"])
-        pos = jnp.where(is_bck, s["k"], pos)
-        pos = jnp.where(is_fem, s["m"] - 1, pos)
-        pos = jnp.where(is_p2, mid, pos)
+        pos = jnp.where(is_p3e, s["i"], s["x"])
         rd = seq_at(pos)
         rd_is_base = rd < 4
 
-        # ---- the one batched probe (bwt_manager analog) ---------------------
-        o0, o1, osz = _extend_batch(idx, s["ik0"], s["ik1"], s["iks"], is_bck)
-        # forward states consume complement base, backward the base itself
+        o0, o1, osz = _extend_batch(
+            idx, s["ik0"], s["ik1"], s["iks"], is_p3x & False
+        )
         c_fwd = 3 - rd
         oc0f, oc1f, ocsf = _pick(c_fwd, o0), _pick(c_fwd, o1), _pick(c_fwd, osz)
-        oc0b, oc1b, ocsb = _pick(rd, o0), _pick(rd, o1), _pick(rd, osz)
 
         n = dict(s)
         n["iters"] = s["iters"] + 1
@@ -254,210 +526,11 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         def upd(key, mask, val):
             n[key] = jnp.where(mask, val, n[key])
 
-        # helper: push current values into curr buffers
-        def push_curr(mask, v0, v1, v2, v3):
-            slot = jnp.minimum(s["curr_n"], LB - 1)
-            n["cu0"] = _write_row(n["cu0"], slot, v0, mask)
-            n["cu1"] = _write_row(n["cu1"], slot, v1, mask)
-            n["cu2"] = _write_row(n["cu2"], slot, v2, mask)
-            n["cu3"] = _write_row(n["cu3"], slot, v3, mask)
-            upd("curr_n", mask, s["curr_n"] + 1)
-            upd("ret", mask, v3)  # ret = end of last pushed break interval
-
-        # helper: push temp into mem (count past cap for the overflow flag)
-        def push_mem(mask, v0, v1, v2, v3, v4, nkey="mem_n"):
-            cnt = n[nkey]
-            slot = jnp.minimum(cnt, MAX_OUT - 1)
-            w = mask & (cnt < MAX_OUT)
-            n["mm0"] = _write_row(n["mm0"], slot, v0, w)
-            n["mm1"] = _write_row(n["mm1"], slot, v1, w)
-            n["mm2"] = _write_row(n["mm2"], slot, v2, w)
-            n["mm3"] = _write_row(n["mm3"], slot, v3, w)
-            n["mm4"] = _write_row(n["mm4"], slot, v4, w)
-            n[nkey] = jnp.where(mask, cnt + 1, cnt)
-
-        # ================= S_P1_NEXTX =================
-        p1_done = is_p1x & (s["x"] >= ln)
-        p1_enter = is_p1x & (s["x"] < ln) & rd_is_base
-        p1_step = is_p1x & (s["x"] < ln) & ~rd_is_base
-        # -> P2 init
-        upd("st", p1_done, jnp.full_like(st, S_P2_NEXT))
-        upd("p2_old_n", p1_done, s["mem_n"])
-        upd("p2_k", p1_done, zb)
-        # -> enter smem1a at x (min_intv=1, mode=1): init FWD
         ix0 = jnp.take(l2, jnp.clip(rd, 0, 3)) + 1
         ix1 = jnp.take(l2, jnp.clip(3 - rd, 0, 3)) + 1
-        isz = jnp.take(l2, jnp.clip(rd, 0, 3) + 1) - jnp.take(l2, jnp.clip(rd, 0, 3))
-        enter_any = p1_enter  # (P2 entry handled below with its own regs)
-        upd("st", p1_enter, jnp.full_like(st, S_FWD))
-        upd("min_intv", p1_enter, jnp.ones_like(zb))
-        upd("mode", p1_enter, jnp.ones_like(zb))
-        upd("st", p1_step, st)  # stay
-        upd("x", p1_step, s["x"] + 1)
-
-        # ================= S_P2_NEXT =================
-        p2_done = is_p2 & (s["p2_k"] >= s["p2_old_n"])
-        p2_live = is_p2 & (s["p2_k"] < s["p2_old_n"])
-        qual = (p_en - p_st >= SPLIT_LEN) & (p_s <= SPLIT_WIDTH) & (s["p2_k"] < MAX_OUT)
-        p2_enter = p2_live & qual & rd_is_base  # rd = seq[mid]
-        p2_step = p2_live & ~(qual & rd_is_base)
-        upd("st", p2_done, jnp.full_like(st, S_P3_NEXTX))
-        upd("x", p2_done, zb)
-        upd("st", p2_enter, jnp.full_like(st, S_FWD))
-        upd("x", p2_enter, mid)
-        upd("min_intv", p2_enter, p_s + 1)
-        upd("mode", p2_enter, zb + 2)
-        upd("p2_k", p2_enter | p2_step, s["p2_k"] + 1)
-        enter_any = enter_any | p2_enter
-
-        # shared smem1a-entry register init (x already set per path)
-        new_x = jnp.where(p2_enter, mid, s["x"])
-        upd("i", enter_any, new_x + 1)
-        upd("curr_n", enter_any, zb)
-        upd("back_n", enter_any, zb)
-        upd("ik0", enter_any, ix0)
-        upd("ik1", enter_any, ix1)
-        upd("iks", enter_any, isz)
-        upd("ikst", enter_any, zb)
-        upd("iken", enter_any, new_x + 1)
-        upd("start", enter_any, new_x)
-        upd("stop", enter_any, new_x)
-
-        # ================= S_FWD =================
-        fwd_end = is_fwd & ((s["i"] >= ln) | ~rd_is_base)  # exhausted or N
-        fwd_ext = is_fwd & (s["i"] < ln) & rd_is_base
-        changed = ocsf != s["iks"]
-        fwd_brk = fwd_ext & changed & (ocsf < s["min_intv"])
-        fwd_go = fwd_ext & ~fwd_brk
-        # pushes: at end/N push current ik; on change push current ik too
-        push_curr(
-            fwd_end | (fwd_ext & changed),
-            s["ik0"], s["ik1"], s["iks"], s["iken"],
+        isz = jnp.take(l2, jnp.clip(rd, 0, 3) + 1) - jnp.take(
+            l2, jnp.clip(rd, 0, 3)
         )
-        # advance ik on non-break extension
-        upd("ik0", fwd_go, oc0f)
-        upd("ik1", fwd_go, oc1f)
-        upd("iks", fwd_go, ocsf)
-        upd("iken", fwd_go, s["i"] + 1)
-        upd("i", fwd_go, s["i"] + 1)
-        # to backward phase
-        to_back = fwd_end | fwd_brk
-        upd("st", to_back, jnp.full_like(st, S_BSTART))
-        upd("ic", to_back, zb)
-        # start/stop already x from entry init
-
-        # ================= S_BSTART =================
-        use_back = (s["back_n"] == 0) | (s["stop"] - s["start"] >= 3)
-        bst_back = is_bst & use_back
-        bst_fwde = is_bst & ~use_back
-        upd("ik0", is_bst, c_x0)
-        upd("ik1", is_bst, c_x1)
-        upd("iks", is_bst, c_s)
-        upd("ikst", is_bst, s["x"])
-        upd("iken", is_bst, c_end)
-        # backenlarge: back = [ik]; k = x-1  (the bk write itself is
-        # merged with S_BACK's below — exclusive states)
-        upd("back_n", bst_back, jnp.ones_like(zb))
-        upd("k", bst_back, s["x"] - 1)
-        upd("st", bst_back, jnp.full_like(st, S_BACK))
-        # forwardenlarge: stop = curr[ic].end; k = back_n - 1
-        upd("stop", bst_fwde, c_end)
-        upd("k", bst_fwde, s["back_n"] - 1)
-        upd("st", bst_fwde, jnp.full_like(st, S_FWDE_K))
-
-        # ================= S_BACK =================
-        bck_ok = is_bck & rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"])
-        bck_stop = is_bck & ~(rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"]))
-        upd("ik0", bck_ok, oc0b)
-        upd("ik1", bck_ok, oc1b)
-        upd("iks", bck_ok, ocsb)
-        upd("ikst", bck_ok, s["k"])
-        # iken unchanged (= curr[ic].end); merged bk write (one masked
-        # write for both the BSTART seed row and BACK's append)
-        slot_b = jnp.minimum(s["back_n"], LB - 1)
-        bk_mask = bst_back | bck_ok
-        bk_row = jnp.where(bst_back, zb, slot_b)
-        n["bk0"] = _write_row(n["bk0"], bk_row, jnp.where(bst_back, c_x0, oc0b), bk_mask)
-        n["bk1"] = _write_row(n["bk1"], bk_row, jnp.where(bst_back, c_x1, oc1b), bk_mask)
-        n["bk2"] = _write_row(n["bk2"], bk_row, jnp.where(bst_back, c_s, ocsb), bk_mask)
-        n["bk3"] = _write_row(n["bk3"], bk_row, jnp.where(bst_back, s["x"], s["k"]), bk_mask)
-        n["bk4"] = _write_row(n["bk4"], bk_row, jnp.where(bst_back, c_end, s["iken"]), bk_mask)
-        upd("back_n", bck_ok, s["back_n"] + 1)
-        upd("k", bck_ok, s["k"] - 1)
-        upd("st", bck_stop, jnp.full_like(st, S_BACK_POST))
-
-        # ================= S_BACK_POST =================
-        # start = curr[ic].end (== iken); stop = curr[ic+1].end or ln
-        upd("start", is_bpo, s["iken"])
-        upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, ln))
-        t_len = s["t4"] - s["t3"]
-        bpo_push = is_bpo & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
-        # (mem pushes from all states merge into one masked write below)
-        # temp = ik (all back-post paths)
-        for tk_, ik_ in (("t0", "ik0"), ("t1", "ik1"), ("t2", "iks"), ("t3", "ikst"), ("t4", "iken")):
-            upd(tk_, is_bpo, s[ik_])
-        upd("ic", is_bpo, s["ic"] + 1)
-        upd("skip_first", is_bpo, jnp.ones(B, bool))
-        upd("st", is_bpo, jnp.full_like(st, S_SKIP))
-
-        # ================= S_FWDE_K =================
-        fek_done = is_fek & (s["k"] < 0)
-        fek_go = is_fek & (s["k"] >= 0)
-        upd("ic", fek_done, s["ic"] + 1)
-        upd("skip_first", fek_done, jnp.ones(B, bool))
-        upd("st", fek_done, jnp.full_like(st, S_SKIP))
-        upd("ik0", fek_go, b_x0)
-        upd("ik1", fek_go, b_x1)
-        upd("iks", fek_go, b_s)
-        upd("ikst", fek_go, b_st)
-        upd("iken", fek_go, b_en)
-        upd("m", fek_go, s["start"] + 1)
-        upd("st", fek_go, jnp.full_like(st, S_FWDE_M))
-
-        # ================= S_FWDE_M =================
-        fem_fail = is_fem & (ocsf < s["min_intv"])
-        fem_ok = is_fem & ~(ocsf < s["min_intv"])
-        at_stop = fem_ok & (s["m"] == s["stop"])
-        # inner-loop failure: k -= 1, back to FWDE_K
-        upd("k", fem_fail, s["k"] - 1)
-        upd("st", fem_fail, jnp.full_like(st, S_FWDE_K))
-        # successful extension
-        upd("ik0", fem_ok, oc0f)
-        upd("ik1", fem_ok, oc1f)
-        upd("iks", fem_ok, ocsf)
-        upd("m", fem_ok & ~at_stop, s["m"] + 1)
-        # reached stop: finalize interval, temp/mem logic, next interval
-        nw_st = s["x"] - s["k"]
-        upd("ikst", at_stop, nw_st)
-        upd("iken", at_stop, s["stop"])
-        fem_push = at_stop & (nw_st > s["t3"]) & (t_len >= MIN_SEED_LEN)
-        upd("t0", at_stop, oc0f)
-        upd("t1", at_stop, oc1f)
-        upd("t2", at_stop, ocsf)
-        upd("t3", at_stop, nw_st)
-        upd("t4", at_stop, s["stop"])
-        upd("ic", at_stop, s["ic"] + 1)
-        upd("skip_first", at_stop, jnp.ones(B, bool))
-        upd("st", at_stop, jnp.full_like(st, S_SKIP))
-
-        # ================= S_SKIP =================
-        skp_done = is_skp & (s["ic"] >= s["curr_n"])
-        skp_live = is_skp & ~skp_done
-        # final push of the trailing temp, then exit to the driver
-        fin_push = skp_done & (s["t4"] - s["t3"] >= MIN_SEED_LEN)
-        back_p1 = skp_done & (s["mode"] == 1)
-        back_p2 = skp_done & (s["mode"] == 2)
-        upd("x", back_p1, s["ret"])
-        upd("st", back_p1, jnp.full_like(st, S_P1_NEXTX))
-        upd("st", back_p2, jnp.full_like(st, S_P2_NEXT))
-        # skip-ahead: stop updates on continuation iterations only
-        upd("stop", skp_live & ~s["skip_first"], c_end)
-        max_len = s["t3"] + c_end
-        skp_more = skp_live & (max_len < MIN_SEED_LEN)
-        skp_exit = skp_live & ~skp_more
-        upd("ic", skp_more, s["ic"] + 1)
-        upd("skip_first", skp_more, jnp.zeros(B, bool))
-        upd("st", skp_exit, jnp.full_like(st, S_BSTART))
 
         # ================= S_P3_NEXTX =================
         p3_done = is_p3x & (s["x"] >= ln)
@@ -485,56 +558,85 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None):
         upd("iks", p3_go, ocsf)
         upd("i", p3_go, s["i"] + 1)
 
-        # ---- merged mem push -------------------------------------------------
-        # every state's push is mutually exclusive (one state per lane per
-        # iteration), so the four sites collapse into ONE masked write
-        # over the (MAX_OUT, B) buffers — the dominant per-iteration cost
-        # — with the values chosen by cheap (B,) selects
-        push_t = bpo_push | fem_push | fin_push  # all push the temp regs
-        push_p3 = hit & (ocsf > 0)
-        v0 = jnp.where(push_p3, oc0f, s["t0"])
-        v1 = jnp.where(push_p3, oc1f, s["t1"])
-        v2 = jnp.where(push_p3, ocsf, s["t2"])
-        v3 = jnp.where(push_p3, s["x"], s["t3"])
-        v4 = jnp.where(push_p3, s["i"] + 1, s["t4"])
-        push_mem(push_t | push_p3, v0, v1, v2, v3, v4)
-
+        # mem push (pass 3 pushes the fresh extension, not the temp regs)
+        push = hit & (ocsf > 0)
+        cnt = n["mem_n"]
+        slot = jnp.minimum(cnt, MAX_OUT - 1)
+        w = push & (cnt < MAX_OUT)
+        n["mm0"] = _write_row(n["mm0"], slot, oc0f, w)
+        n["mm1"] = _write_row(n["mm1"], slot, oc1f, w)
+        n["mm2"] = _write_row(n["mm2"], slot, ocsf, w)
+        n["mm3"] = _write_row(n["mm3"], slot, s["x"], w)
+        n["mm4"] = _write_row(n["mm4"], slot, s["i"] + 1, w)
+        n["mem_n"] = jnp.where(push, cnt + 1, cnt)
         return n
 
-    # unrolled body: the (rows, B) interval buffers live in the while
-    # carry, i.e. HBM — each iteration pays a full read+write of ~20 MB.
-    # Running UNROLL machine steps per iteration amortizes that carry
-    # traffic; the masked updates between sub-steps fuse on chip.  DONE
-    # lanes no-op, so overshooting by < UNROLL steps is harmless.
+    # unrolled bodies: the (rows, B) buffers live in the while carry, i.e.
+    # HBM — each iteration pays a full read+write.  Running UNROLL machine
+    # steps per iteration amortizes that carry traffic; the masked updates
+    # between sub-steps fuse on chip.  DONE lanes no-op, so overshooting
+    # by < UNROLL steps is harmless.
     UNROLL = 4
 
-    def body_u(s):
-        for _ in range(UNROLL):
-            s = body(s)
-        return s
+    def unrolled(body):
+        def body_u(s):
+            for _ in range(UNROLL):
+                s = body(s)
+            return s
+        return body_u
 
-    final = jax.lax.while_loop(cond, body_u, init)
-    # lanes still running when the safety cap fires are reported as
-    # "unfinished" by forcing their count past the overflow cap — the
-    # engine reruns them on the host (graceful-degradation contract)
-    unfinished = final["st"] != S_DONE
-    mem_n = jnp.where(unfinished, jnp.int32(MAX_OUT + 1), final["mem_n"])
+    # ---- phase 1: all SMEMs -------------------------------------------
+    f1 = jax.lax.while_loop(cond, unrolled(make_body(1)), init)
+    unf1 = f1["st"] != S_DONE  # hit the safety cap mid-pass
+
+    # ---- phase 2: re-seed long low-occurrence SMEMs -------------------
+    init2 = dict(f1)
+    init2["bust"] = f1["bust"] | unf1
+    init2["st"] = jnp.where(
+        (ln > 0) & ~unf1, jnp.int32(S_P2_NEXT), jnp.int32(S_DONE)
+    )
+    init2["p2_k"] = zb
+    init2["p2_old_n"] = f1["mem_n"]
+    f2 = jax.lax.while_loop(cond, unrolled(make_body(2)), init2)
+    unf2 = f2["st"] != S_DONE
+
+    # ---- phase 3: LAST-like scan (reduced carry) ----------------------
+    init3 = dict(
+        st=jnp.where((ln > 0) & ~unf2, jnp.int32(S_P3_NEXTX), jnp.int32(S_DONE)),
+        x=zb, i=zb, ik0=zb, ik1=zb, iks=zb,
+        mem_n=f2["mem_n"],
+        mm0=f2["mm0"], mm1=f2["mm1"], mm2=f2["mm2"],
+        mm3=f2["mm3"], mm4=f2["mm4"],
+        iters=f2["iters"],
+    )
+    f3 = jax.lax.while_loop(cond, unrolled(body3), init3)
+
+    # lanes still running when the safety cap fires, or whose curr/back
+    # chains outgrew the capped buffers, are reported as "unfinished" by
+    # forcing their count past the overflow cap — the engine reruns them
+    # on the host (graceful-degradation contract)
+    unfinished = (f3["st"] != S_DONE) | f2["bust"] | unf2
+    mem_n = jnp.where(unfinished, jnp.int32(MAX_OUT + 1), f3["mem_n"])
     return (
-        (final["mm0"], final["mm1"], final["mm2"], final["mm3"], final["mm4"]),
+        (f3["mm0"], f3["mm1"], f3["mm2"], f3["mm3"], f3["mm4"]),
         mem_n,
-        final["iters"],
+        f3["iters"],
     )
 
 
-_collect_jit = jax.jit(smem_collect_machine, static_argnames=("max_iters",))
+_collect_jit = jax.jit(
+    smem_collect_machine, static_argnames=("max_iters", "params")
+)
 
 
 def smem_batch_machine(
-    fm_or_idx, reads: List[np.ndarray], seq_len: int = 256, mesh=None
+    fm_or_idx, reads: List[np.ndarray], seq_len: int = 256, mesh=None,
+    params: SmemParams = DEFAULT_SMEM_PARAMS,
 ):
     """Host wrapper: list of nt4 reads -> per-read interval dicts + overflow
-    flags (n > MAX_OUT -> host rerun, smem/main.cpp:158-164).  With a mesh,
-    lanes shard over its "data" axis (index replicated per device)."""
+    flags (n > max_intv_alloc -> host rerun, smem/main.cpp:158-164).  With a
+    mesh, lanes shard over its "data" axis (index replicated per device)."""
+    MAX_OUT = params.max_intv_alloc
     idx = (
         device_index_fused(fm_or_idx)
         if isinstance(fm_or_idx, FMIndex)
@@ -556,12 +658,12 @@ def smem_batch_machine(
         from acc_genomics_tpu.parallel.sharded_kernels import smem_collect_dp
 
         mem, mem_n, iters = smem_collect_dp(
-            mesh, idx, jnp.asarray(seq_tm), jnp.asarray(lens)
+            mesh, idx, jnp.asarray(seq_tm), jnp.asarray(lens), params=params
         )
         iters = np.max(np.asarray(iters))
     else:
         mem, mem_n, iters = _collect_jit(
-            idx, jnp.asarray(seq_tm), jnp.asarray(lens)
+            idx, jnp.asarray(seq_tm), jnp.asarray(lens), params=params
         )
     # two D2H round trips total: counts first (to size the prefix), then
     # the five interval fields stacked into ONE array (per-leaf fetches

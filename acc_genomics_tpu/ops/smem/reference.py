@@ -21,16 +21,35 @@ max_mem_intv 20, max_intv 0 (smem/common/common.h, baseline.cpp:391-394).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, NamedTuple
 
 import numpy as np
 
 from acc_genomics_tpu.ops.smem.index import FMIndex
 
-MIN_SEED_LEN = 19
-SPLIT_LEN = 28
-SPLIT_WIDTH = 10
-MAX_MEM_INTV = 20
+
+class SmemParams(NamedTuple):
+    """Runtime SMEM options — the mem_opt_t analog
+    (smem/host/host_types.h:9-47, baseline.cpp:391-394).  Hashable so the
+    jitted state machine takes it as a static argument."""
+
+    min_seed_len: int = 19
+    split_len: int = 28
+    split_width: int = 10
+    max_mem_intv: int = 20
+    max_intv_alloc: int = 256  # per-read output interval cap (MAX_INTV_ALLOC)
+    # device-machine cap on the curr/back break-interval chains (rows of
+    # the while-carry buffers, the dominant HBM cost); chains that
+    # outgrow it flag the lane for host rerun.  Ignored by the oracle.
+    curr_cap: int = 48
+
+
+DEFAULT_SMEM_PARAMS = SmemParams()
+
+MIN_SEED_LEN = DEFAULT_SMEM_PARAMS.min_seed_len
+SPLIT_LEN = DEFAULT_SMEM_PARAMS.split_len
+SPLIT_WIDTH = DEFAULT_SMEM_PARAMS.split_width
+MAX_MEM_INTV = DEFAULT_SMEM_PARAMS.max_mem_intv
 
 
 def pack_info(iv: Dict) -> int:
@@ -42,11 +61,13 @@ def _iv(x0, x1, s, start, end):
 
 
 def smem1a_fwdback(
-    fm: FMIndex, seq: np.ndarray, x: int, min_intv: int, mem: List[Dict]
+    fm: FMIndex, seq: np.ndarray, x: int, min_intv: int, mem: List[Dict],
+    params: SmemParams = DEFAULT_SMEM_PARAMS,
 ) -> int:
     """One seeding round starting at position x; appends SMEMs to mem and
     returns the next start position (bwt_smem1a_new semantics with
     max_intv = 0, its production setting)."""
+    MIN_SEED_LEN = params.min_seed_len
     ln = len(seq)
     if seq[x] > 3:
         return x + 1
@@ -173,7 +194,10 @@ def seed_strategy1(
     return ln, None
 
 
-def mem_collect_intv_oracle(fm: FMIndex, seq: np.ndarray) -> List[Dict]:
+def mem_collect_intv_oracle(
+    fm: FMIndex, seq: np.ndarray,
+    params: SmemParams = DEFAULT_SMEM_PARAMS,
+) -> List[Dict]:
     """3-pass SMEM collection (mem_collect_intv_new)."""
     seq = np.asarray(seq)
     ln = len(seq)
@@ -182,21 +206,24 @@ def mem_collect_intv_oracle(fm: FMIndex, seq: np.ndarray) -> List[Dict]:
     x = 0
     while x < ln:
         if seq[x] < 4:
-            x = smem1a_fwdback(fm, seq, x, 1, mem)
+            x = smem1a_fwdback(fm, seq, x, 1, mem, params)
         else:
             x += 1
     # pass 2: re-seed long low-occurrence SMEMs from their midpoint
     old_n = len(mem)
     for k in range(old_n):
         p = mem[k]
-        if p["end"] - p["start"] < SPLIT_LEN or p["s"] > SPLIT_WIDTH:
+        if p["end"] - p["start"] < params.split_len or p["s"] > params.split_width:
             continue
-        smem1a_fwdback(fm, seq, (p["start"] + p["end"]) >> 1, p["s"] + 1, mem)
+        smem1a_fwdback(fm, seq, (p["start"] + p["end"]) >> 1, p["s"] + 1, mem,
+                       params)
     # pass 3: LAST-like
     x = 0
     while x < ln:
         if seq[x] < 4:
-            x, iv = seed_strategy1(fm, seq, x, MIN_SEED_LEN, MAX_MEM_INTV)
+            x, iv = seed_strategy1(
+                fm, seq, x, params.min_seed_len, params.max_mem_intv
+            )
             if iv is not None and iv["s"] > 0:
                 mem.append(iv)
         else:
@@ -204,5 +231,8 @@ def mem_collect_intv_oracle(fm: FMIndex, seq: np.ndarray) -> List[Dict]:
     return mem
 
 
-def smem_batch_oracle(fm: FMIndex, reads: List[np.ndarray]) -> List[List[Dict]]:
-    return [mem_collect_intv_oracle(fm, r) for r in reads]
+def smem_batch_oracle(
+    fm: FMIndex, reads: List[np.ndarray],
+    params: SmemParams = DEFAULT_SMEM_PARAMS,
+) -> List[List[Dict]]:
+    return [mem_collect_intv_oracle(fm, r, params) for r in reads]

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from acc_genomics_tpu.ops.sw.reference import (
+    DEFAULT_SW_PARAMS,
     LOW_INIT,
     MATRIX_MIN_CUTOFF,
     OVERHANG_INDEL,
@@ -41,10 +42,7 @@ from acc_genomics_tpu.ops.sw.reference import (
     STATE_DELETION,
     STATE_INSERTION,
     STATE_MATCH,
-    W_EXTEND,
-    W_MATCH,
-    W_MISMATCH,
-    W_OPEN,
+    SWParams,
 )
 
 I32 = jnp.int32
@@ -64,14 +62,17 @@ def _argmax_first_scan(u, axis):
     return jax.lax.associative_scan(combine, (u, idx), axis=axis)
 
 
-@functools.partial(jax.jit, static_argnames=("strategy",))
-def sw_fill(ref_tm, alt_tm, reflen, altlen, strategy: int):
+@functools.partial(jax.jit, static_argnames=("strategy", "params"))
+def sw_fill(ref_tm, alt_tm, reflen, altlen, strategy: int,
+            params: SWParams = DEFAULT_SW_PARAMS):
     """Fill for a padded batch.
 
     ref_tm: (R, B) int32 codes (pad >= 4 never matches)
     alt_tm: (C, B) int32 codes
     reflen/altlen: (B,) int32 real lengths
+    params: static scoring weights (SWConfig analog)
     """
+    W_MATCH, W_MISMATCH, W_OPEN, W_EXTEND = params
     rows, bsz = ref_tm.shape
     cols = alt_tm.shape[0]
     indel_init = strategy in (OVERHANG_INDEL, OVERHANG_LEADING_INDEL)
@@ -229,7 +230,8 @@ def sw_backtrack_slim(
     return elements, offset
 
 
-def sw_align_batch(refs, alts, strategy: int, rows: int, cols: int):
+def sw_align_batch(refs, alts, strategy: int, rows: int, cols: int,
+                   params: SWParams = DEFAULT_SW_PARAMS):
     """Batched alignment: lists of ref/alt code arrays -> [(cigar, offset)].
 
     Pads to (rows, cols), fills on device, backtracks on host.
@@ -248,7 +250,7 @@ def sw_align_batch(refs, alts, strategy: int, rows: int, cols: int):
         altlen[k] = len(a)
     btrack, sw_lastrow, sw_altcol = sw_fill(
         jnp.asarray(ref_tm), jnp.asarray(alt_tm),
-        jnp.asarray(reflen), jnp.asarray(altlen), strategy,
+        jnp.asarray(reflen), jnp.asarray(altlen), strategy, params,
     )
     btrack = np.asarray(btrack)
     sw_lastrow = np.asarray(sw_lastrow)

@@ -41,14 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from acc_genomics_tpu.ops.sw.reference import (
+    DEFAULT_SW_PARAMS,
     LOW_INIT,
     MATRIX_MIN_CUTOFF,
     OVERHANG_INDEL,
     OVERHANG_LEADING_INDEL,
-    W_EXTEND,
-    W_MATCH,
-    W_MISMATCH,
-    W_OPEN,
+    SWParams,
 )
 
 LANES = 128
@@ -62,8 +60,9 @@ def _sw_diag_kernel(
     btr_out, lastrow_out, altcol_out,
     sw_buf, bgv_buf, gsv_buf, bgh_buf, gsh_buf, ad_buf, btr_stage,
     lr_stage, ac_stage, dma_sems,
-    *, indel_init: bool,
+    *, indel_init: bool, params: SWParams,
 ):
+    W_MATCH, W_MISMATCH, W_OPEN, W_EXTEND = params
     rows = ref_ref.shape[0]
     n_diag = alt_ext_ref.shape[0]
     cols = n_diag - rows
@@ -288,10 +287,11 @@ def _sw_diag_kernel(
     ).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("strategy", "interpret"))
+@functools.partial(jax.jit, static_argnames=("strategy", "interpret", "params"))
 def sw_fill_pallas(
     ref_tm, alt_ext, reflen, altlen, strategy: int,
     block_diags=None, interpret=False,
+    params: SWParams = DEFAULT_SW_PARAMS,
 ):
     """Diag-major fill.  ref_tm: (R, B); alt_ext: (D, B) int32 with
     D = R + C (alt chars then 255 padding).  Returns
@@ -320,9 +320,11 @@ def sw_fill_pallas(
     one_spec = pl.BlockSpec((1, LANES), lambda b, nd: (0, b), memory_space=pltpu.VMEM)
     # ANY-space outputs must be whole-array; the kernel DMAs into its own
     # lane slice using program_id
-    btr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    btr_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    kernel = functools.partial(_sw_diag_kernel, indel_init=indel_init)
+    kernel = functools.partial(
+        _sw_diag_kernel, indel_init=indel_init, params=params
+    )
     btr, lastrow, altcol = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -360,6 +362,7 @@ def sw_fill_pallas(
 def sw_align_batch_launch(
     refs, alts, strategy: int, rows: int, cols: int,
     interpret: bool = False, mesh=None,
+    params: SWParams = DEFAULT_SW_PARAMS,
 ):
     """Launch the fill + device walk; returns (packed device array, perm)
     without fetching — callers batch many launches into one D2H transfer
@@ -402,12 +405,13 @@ def sw_align_batch_launch(
 
         packed = sw_device_dp(
             mesh, jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d,
-            strategy, jnp.asarray(block_diags),
+            strategy, jnp.asarray(block_diags), params=params,
         )
     else:
         btr, lastrow_diag, altcol_diag = sw_fill_pallas(
             jnp.asarray(ref_tm), jnp.asarray(alt_ext), rl_d, al_d, strategy,
             block_diags=jnp.asarray(block_diags), interpret=interpret,
+            params=params,
         )
         packed = sw_walk_device(
             btr, lastrow_diag, altcol_diag, rl_d, al_d, strategy
@@ -416,7 +420,8 @@ def sw_align_batch_launch(
 
 
 def sw_align_batch_decode(
-    packed_np, perm, refs, alts, strategy: int
+    packed_np, perm, refs, alts, strategy: int,
+    params: SWParams = DEFAULT_SW_PARAMS,
 ) -> List[Tuple[list, int]]:
     """Host half: decode a fetched packed element buffer into per-pair
     (cigar, offset), rerunning overflow pairs on the host oracle."""
@@ -430,13 +435,14 @@ def sw_align_batch_decode(
         if overflow[k]:
             from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
 
-            out[j] = sw_align_oracle(refs[j], alts[j], strategy)
+            out[j] = sw_align_oracle(refs[j], alts[j], strategy, params=params)
     return out
 
 
 def sw_align_batch_pallas(
     refs, alts, strategy: int, rows: int, cols: int,
     interpret: bool = False, mesh=None,
+    params: SWParams = DEFAULT_SW_PARAMS,
 ) -> List[Tuple[list, int]]:
     """Batched alignment: Pallas fill + device-side backtrack walker.
 
@@ -446,8 +452,9 @@ def sw_align_batch_pallas(
     ops.sw.jax_impl.sw_align_batch (exact results).
     """
     packed, perm = sw_align_batch_launch(
-        refs, alts, strategy, rows, cols, interpret=interpret, mesh=mesh
+        refs, alts, strategy, rows, cols, interpret=interpret, mesh=mesh,
+        params=params,
     )
     return sw_align_batch_decode(
-        np.asarray(packed), perm, refs, alts, strategy
+        np.asarray(packed), perm, refs, alts, strategy, params=params
     )

@@ -28,7 +28,7 @@ DELETION=2, CLIP=4 (htc-sw/host/common.h:36-39).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
 import numpy as np
 
@@ -42,32 +42,49 @@ STATE_INSERTION = 1
 STATE_DELETION = 2
 STATE_CLIP = 4
 
-W_MATCH = 200
-W_MISMATCH = -150
-W_OPEN = -260
-W_EXTEND = -11
+
+class SWParams(NamedTuple):
+    """Runtime scoring weights (htc-sw/host/common.h:13-56).  Hashable so
+    jitted kernels take it as a static argument; defaults are the
+    reference's production weights."""
+
+    w_match: int = 200
+    w_mismatch: int = -150
+    w_open: int = -260
+    w_extend: int = -11
+
+
+DEFAULT_SW_PARAMS = SWParams()
+
+W_MATCH = DEFAULT_SW_PARAMS.w_match
+W_MISMATCH = DEFAULT_SW_PARAMS.w_mismatch
+W_OPEN = DEFAULT_SW_PARAMS.w_open
+W_EXTEND = DEFAULT_SW_PARAMS.w_extend
 
 MATRIX_MIN_CUTOFF = int(-1e8)
 LOW_INIT = -(1 << 30)
 
 
-def _init_matrices(nrow: int, ncol: int, strategy: int):
+def _init_matrices(nrow: int, ncol: int, strategy: int,
+                   params: SWParams = DEFAULT_SW_PARAMS):
     sw = np.zeros((nrow, ncol), dtype=np.int64)
     if strategy in (OVERHANG_INDEL, OVERHANG_LEADING_INDEL):
-        ramp = W_OPEN + np.arange(ncol - 1, dtype=np.int64) * W_EXTEND
+        ramp = params.w_open + np.arange(ncol - 1, dtype=np.int64) * params.w_extend
         sw[0, 1:] = ramp
-        rampr = W_OPEN + np.arange(nrow - 1, dtype=np.int64) * W_EXTEND
+        rampr = params.w_open + np.arange(nrow - 1, dtype=np.int64) * params.w_extend
         sw[1:, 0] = rampr
     return sw
 
 
-def sw_fill_cellwise(ref, alt, strategy: int):
+def sw_fill_cellwise(ref, alt, strategy: int,
+                     params: SWParams = DEFAULT_SW_PARAMS):
     """Direct per-cell fill.  Returns (sw, btrack) int64 matrices of shape
     (len(ref)+1, len(alt)+1)."""
+    W_MATCH, W_MISMATCH, W_OPEN, W_EXTEND = params
     ref = np.asarray(ref)
     alt = np.asarray(alt)
     nrow, ncol = len(ref) + 1, len(alt) + 1
-    sw = _init_matrices(nrow, ncol, strategy)
+    sw = _init_matrices(nrow, ncol, strategy, params)
     btrack = np.zeros((nrow, ncol), dtype=np.int64)
     best_gap_v = np.full(ncol + 1, LOW_INIT, dtype=np.int64)
     gap_size_v = np.zeros(ncol + 1, dtype=np.int64)
@@ -110,13 +127,15 @@ def sw_fill_cellwise(ref, alt, strategy: int):
     return sw, btrack
 
 
-def sw_fill_rowwise(ref, alt, strategy: int):
+def sw_fill_rowwise(ref, alt, strategy: int,
+                    params: SWParams = DEFAULT_SW_PARAMS):
     """Row-vectorised fill with deferred horizontal max-scan.  Identical
     output to sw_fill_cellwise (asserted in tests)."""
+    W_MATCH, W_MISMATCH, W_OPEN, W_EXTEND = params
     ref = np.asarray(ref)
     alt = np.asarray(alt)
     nrow, ncol = len(ref) + 1, len(alt) + 1
-    sw = _init_matrices(nrow, ncol, strategy)
+    sw = _init_matrices(nrow, ncol, strategy, params)
     btrack = np.zeros((nrow, ncol), dtype=np.int64)
     best_gap_v = np.full(ncol, LOW_INIT, dtype=np.int64)
     gap_size_v = np.zeros(ncol, dtype=np.int64)
@@ -240,8 +259,9 @@ def sw_backtrack(
     return elements, offset
 
 
-def sw_align_oracle(ref, alt, strategy: int = OVERHANG_SOFTCLIP, fill="rowwise"):
+def sw_align_oracle(ref, alt, strategy: int = OVERHANG_SOFTCLIP, fill="rowwise",
+                    params: SWParams = DEFAULT_SW_PARAMS):
     """Full oracle: (cigar, offset) for one ref/alt pair."""
     fill_fn = sw_fill_rowwise if fill == "rowwise" else sw_fill_cellwise
-    sw, btrack = fill_fn(ref, alt, strategy)
+    sw, btrack = fill_fn(ref, alt, strategy, params)
     return sw_backtrack(sw, btrack, strategy)

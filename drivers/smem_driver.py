@@ -1,14 +1,25 @@
 #!/usr/bin/env python
 """SMEM end-to-end driver: exact golden comparison + reads/s scoreboard.
 
-The analog of smem/main.cpp randomTest: builds (or loads) an index, runs
-batches of reads through the device engine and the host oracle, compares
-intervals exactly after canonical sort, and reports reads/s plus the
-analytical BWT-traffic bandwidth.
+The analog of smem/main.cpp randomTest: obtains an index — synthetic
+genome, FASTA (bwa_idx_build analog), an on-disk ``bwa index`` directory
+(bwa_idx_load analog, io/bwa_index.py byte formats), or a cached
+FMIndex .npz — runs batches of reads through the device engine and the
+host oracle, compares intervals exactly after canonical sort, and
+reports reads/s plus the analytical BWT-traffic bandwidth and index
+scale numbers (build time, host RSS, fused-table HBM footprint — the
+reference loads BWTs up to 1e9 entries, smem/main.cpp:426-453).
+
+Examples:
+  python drivers/smem_driver.py --genome 100000000          # 100 Mbp synthetic
+  python drivers/smem_driver.py --fasta ref.fa --save-npz ref.fm.npz
+  python drivers/smem_driver.py --index /path/bwa/prefix    # bwa index dir
+  python drivers/smem_driver.py --npz ref.fm.npz
 """
 
 import argparse
 import os
+import resource
 import sys
 import time
 
@@ -18,6 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
 from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
+from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
 
 
@@ -25,9 +37,55 @@ def canon(ivs):
     return sorted((iv["x0"], iv["x1"], iv["s"], iv["start"], iv["end"]) for iv in ivs)
 
 
+def rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def obtain_index(args, rng):
+    """-> (fm, genome or None).  Prints index provenance + scale stats."""
+    t0 = time.time()
+    if args.npz:
+        fm = FMIndex.load(args.npz)
+        src = f"npz {args.npz}"
+        genome = fm.text[: fm.seq_len // 2]
+    elif args.index:
+        from acc_genomics_tpu.io.bwa_index import load_bwa_index
+
+        fm, anns = load_bwa_index(args.index, validate=not args.no_validate)
+        src = f"bwa index {args.index} ({len(anns.contigs)} contigs)"
+        genome = fm.text[: fm.seq_len // 2]
+    elif args.fasta:
+        from acc_genomics_tpu.io.bwa_index import build_index_from_fasta
+
+        fm, anns = build_index_from_fasta(args.fasta)
+        src = f"fasta {args.fasta} ({len(anns.contigs)} contigs)"
+        genome = fm.text[: fm.seq_len // 2]
+    else:
+        genome = gen_reference_with_repeats(rng, args.genome)
+        fm = FMIndex.build(genome)
+        src = f"synthetic {args.genome} bp"
+    dt = time.time() - t0
+    if args.save_npz:
+        fm.save(args.save_npz)
+        print(f"index cached to {args.save_npz}")
+    tbl_bytes = fm.bwt_packed.shape[0] * 32
+    print(
+        f"index [{src}]: {fm.seq_len} BWT entries, built/loaded in {dt:.1f}s, "
+        f"host RSS {rss_gb():.2f} GB, fused probe table {tbl_bytes/1e6:.0f} MB"
+    )
+    return fm, genome
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--genome", type=int, default=50_000)
+    ap.add_argument("--genome", type=int, default=50_000,
+                    help="synthetic genome length (bp)")
+    ap.add_argument("--fasta", help="build the index from a FASTA file")
+    ap.add_argument("--index", help="load a `bwa index` prefix (.pac/.bwt/.sa)")
+    ap.add_argument("--npz", help="load a cached FMIndex .npz")
+    ap.add_argument("--save-npz", help="cache the built index to .npz")
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip byte-level cross-check when loading a bwa index")
     ap.add_argument("--reads", type=int, default=2048)
     ap.add_argument("--read-len", type=int, default=101)
     ap.add_argument("--batches", type=int, default=3)
@@ -35,11 +93,13 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    genome = gen_reference_with_repeats(rng, args.genome)
+    fm, genome = obtain_index(args, rng)
+    if genome is None:
+        genome = fm.text[: fm.seq_len // 2]
     engine = GenomicsEngine()
     t0 = time.time()
-    fm = engine.load_reference(genome)
-    print(f"index built+uploaded in {time.time()-t0:.2f}s ({fm.seq_len} bases)")
+    engine.set_index(fm)
+    print(f"index uploaded to device in {time.time()-t0:.2f}s")
 
     # warm the jit cache at the real batch shape before timing
     engine.smem_collect(gen_smem_reads(rng, genome, args.reads, read_len=args.read_len))

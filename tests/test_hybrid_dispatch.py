@@ -1,0 +1,92 @@
+"""Concurrent host-device hybrid dispatch: mixed oversize/normal batches.
+
+The reference worker runs its CPU region on a thread while the device
+processes tiles (PairHMMWorker.cpp:201-270); these tests pin that a
+mixed batch (a) completes, (b) routes the oversize items through the
+host fallback, and (c) every result — device or host — matches the
+oracle exactly.
+"""
+
+import numpy as np
+
+from acc_genomics_tpu.config import ExtendConfig, PairHMMConfig, SWConfig
+from acc_genomics_tpu.engine.extend_engine import ExtendEngine
+from acc_genomics_tpu.engine.pairhmm_engine import PairHMMEngine
+from acc_genomics_tpu.engine.sw_engine import SWEngine
+from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_oracle
+from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
+
+
+def test_sw_mixed_oversize_batch():
+    rng = np.random.default_rng(0)
+    cfg = SWConfig(seq_buckets=(64, 128))  # force len > 128 to host
+    eng = SWEngine(cfg, use_pallas=False)
+    refs, alts = [], []
+    for k in range(8):
+        rl = 200 if k % 3 == 0 else 50  # every 3rd pair oversize
+        ref = rng.integers(0, 4, rl).astype(np.uint8)
+        alt = ref[: rl - 10].copy()
+        mut = rng.random(len(alt)) < 0.1
+        alt[mut] = (alt[mut] + rng.integers(1, 4, mut.sum())) % 4
+        refs.append(ref)
+        alts.append(alt)
+    got = eng.align(refs, alts, 0)
+    assert eng.stats["host_fallback"] == 3
+    for r, a, g in zip(refs, alts, got):
+        assert g == sw_align_oracle(r, a, 0)
+
+
+def test_extend_mixed_oversize_batch():
+    rng = np.random.default_rng(1)
+    cfg = ExtendConfig(max_qlen=64, max_tlen=128)
+    eng = ExtendEngine(cfg, use_pallas=False)
+    seeds = []
+    for k in range(6):
+        rl = 150 if k % 2 == 0 else 40  # right-extension query oversize
+        read = rng.integers(0, 4, rl).astype(np.uint8)
+        rseq = np.concatenate(
+            [rng.integers(0, 4, 5).astype(np.uint8), read,
+             rng.integers(0, 4, 5).astype(np.uint8)]
+        )
+        seeds.append(dict(read=read, rseq=rseq, qbeg=5, rbeg_off=10, len=15))
+    got = eng.extend_seeds(seeds)
+    assert eng.stats["host_fallback"] > 0
+    for s, g in zip(seeds, got):
+        assert g == extend_seed_oracle(
+            s["read"], s["rseq"], s["qbeg"], s["rbeg_off"], s["len"]
+        )
+
+
+def test_pairhmm_mixed_oversize_batch():
+    rng = np.random.default_rng(2)
+    cfg = PairHMMConfig(read_buckets=(32, 64), hap_buckets=(128,))
+    eng = PairHMMEngine(cfg, use_pallas=False)
+    eng.min_device_cells = 0  # force the device path for in-bucket pairs
+    tcs = []
+    for k in range(6):
+        ln = 100 if k % 3 == 0 else 40  # oversize read every 3rd pair
+        hl = 100
+        hap = rng.integers(0, 4, hl).astype(np.uint8)
+        rs = hap[:ln].copy() if ln <= hl else np.resize(hap, ln).copy()
+        tcs.append(
+            dict(
+                rs=rs,
+                q=np.clip(rng.normal(30, 5, ln), 6, 127).astype(np.uint8),
+                i=np.clip(rng.normal(40, 1, ln), 1, 127).astype(np.uint8),
+                d=np.clip(rng.normal(40, 1, ln), 1, 127).astype(np.uint8),
+                c=np.full(ln, 10, np.uint8),
+                hap=hap,
+            )
+        )
+    got = eng.compute_pairs(tcs)
+    assert eng.stats.get("host_fallback", 0) == 2
+    from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+
+    ctx64 = PairHMMContext(np.float64)
+    for t, g in zip(tcs, got):
+        want64 = pairhmm_oracle(
+            t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"], np.float64
+        )
+        want = np.log10(want64) - ctx64.log10_initial_constant
+        assert abs(g - want) <= 5e-3 * max(abs(want), 1e-12)

@@ -1,5 +1,6 @@
 """Client/daemon offload service: in-process loopback (LOCAL_BLAZE analog)."""
 
+import pytest
 import numpy as np
 
 from acc_genomics_tpu.io.synth import (
@@ -11,6 +12,9 @@ from acc_genomics_tpu.parallel.service import EngineClient, EngineServer
 from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
 from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
+
+pytestmark = pytest.mark.slow  # daemon/multiprocess: minutes of subprocess compiles
+
 
 
 def test_loopback_pairhmm_and_smem(rng):

@@ -1,6 +1,7 @@
 """Flat state-machine SMEM engine vs the NumPy oracle (exact)."""
 
 import numpy as np
+import pytest
 
 from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
 from acc_genomics_tpu.ops.smem.index import FMIndex
@@ -82,6 +83,7 @@ def test_iteration_cap_flags_unfinished_lanes(rng):
     assert (np.asarray(n) > MAX_OUT).all()
 
 
+@pytest.mark.slow  # ~75s: many small jit shapes
 def test_machine_fuzz_seeds(rng):
     """Exact parity across varied genome structures and seeds; the corpus
     exercises every oracle branch (backenlarge/forwardenlarge/skip/P2/P3 —
@@ -98,3 +100,28 @@ def test_machine_fuzz_seeds(rng):
                 assert len(want) > MAX_OUT
             else:
                 assert _canon(g) == _canon(want)
+
+
+def test_machine_curr_cap_bust_flags_host_rerun(rng):
+    """Lanes whose break-interval chains outgrow the capped curr/back
+    buffers are flagged for host rerun (never silently wrong), and the
+    engine's rerun path restores exact parity."""
+    from acc_genomics_tpu.config import SmemConfig
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+    from acc_genomics_tpu.ops.smem.reference import SmemParams
+
+    genome = gen_reference_with_repeats(rng, 2000)
+    fm = FMIndex.build(genome)
+    reads = gen_smem_reads(rng, genome, 4, read_len=60, error_rate=0.05)
+    # a tiny cap forces busts on normal reads
+    tight = SmemParams(curr_cap=2)
+    got, ovf = smem_batch_machine(fm, reads, seq_len=64, params=tight)
+    assert ovf.any()
+    # engine with the same tight cap reruns busted lanes on the host
+    cfg = SmemConfig()
+    eng = SmemEngine(fm, cfg)
+    eng.params = tight
+    out = eng.collect(reads)
+    for r, g in zip(reads, out):
+        assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
+    assert eng.stats["overflow_reruns"] > 0

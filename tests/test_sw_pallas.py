@@ -10,7 +10,12 @@ from acc_genomics_tpu.ops.sw.reference import sw_align_oracle
 ALL_STRATEGIES = [0, 1, 2, 3]
 
 
-@pytest.mark.parametrize("strategy", ALL_STRATEGIES)
+@pytest.mark.parametrize(
+    "strategy",
+    # one strategy stays in the default run; the rest are slow (interpret
+    # mode costs ~90s each)
+    [0] + [pytest.param(s, marks=pytest.mark.slow) for s in ALL_STRATEGIES[1:]],
+)
 def test_pallas_sw_exact(rng, strategy):
     ref, alts = gen_sw_batch(rng, 5, ref_len=40)
     got = sw_align_batch_pallas([ref] * 5, alts, strategy, rows=48, cols=48,
@@ -56,6 +61,7 @@ def test_pallas_sw_tie_breaking_stress(rng, strategy):
             [tuple(e) for e in res[0]], res[1]), (strategy, r[:8], a[:8])
 
 
+@pytest.mark.slow  # ~200s in interpret mode
 def test_pallas_sw_element_overflow_reruns_on_host(rng):
     """Pairs whose CIGAR exceeds the shipped element prefix must fall
     back to the host oracle (the interval-overflow contract analog)."""
