@@ -59,8 +59,9 @@ class SmemConfig:
     min_seed_len: int = 19
     max_intv_alloc: int = 256  # per-read output interval cap
     # max lanes per device call; bigger batches segment into chunks of
-    # this size (the reference's BATCH_SIZE streaming loop)
-    batch_size: int = 4096
+    # this size (the reference's BATCH_SIZE streaming loop).  Throughput
+    # scales with lanes until ~16K (measured: 2K -> 16K batch = ~2x)
+    batch_size: int = 16384
     seq_length: int = 256  # per-read sequence slot (largest bucket)
     # per-read length buckets: the machine's curr/back interval buffers
     # are (bucket+1, B), so short reads in a tight bucket halve the

@@ -113,3 +113,32 @@ class SmemEngine:
                         )
                     out[k] = r
         return out
+
+    def collect_arrays(self, seq_tm: np.ndarray, lens: np.ndarray):
+        """Raw-array SMEM collection for device pipelines (no per-interval
+        dict conversion): seq_tm (L, B) uint8 codes, lens (B,).
+
+        Returns (mem (5, used, B) int32 [x0,x1,s,start,end], mem_n (B,),
+        overflow (B,) bool).  Overflow/bust lanes carry no intervals here;
+        callers route those reads through the host path.
+        """
+        import jax.numpy as jnp
+
+        from acc_genomics_tpu.ops.smem.machine import _collect_jit
+
+        with Timer("smem.device"):
+            mem, mem_n, iters = _collect_jit(
+                self.idx, jnp.asarray(seq_tm), jnp.asarray(lens),
+                params=self.params,
+            )
+            mem_n, iters = jax.device_get((mem_n, jnp.asarray(iters)))
+            self.stats["probe_iters"] += int(iters)
+            self.stats["reads"] += seq_tm.shape[1]
+            cap = self.params.max_intv_alloc
+            used = int(min(cap, mem_n.max(initial=0)))
+            memc = np.asarray(
+                jnp.stack([m[:used].astype(jnp.int32) for m in mem])
+            )
+        overflow = mem_n > cap
+        self.stats["overflow_reruns"] += int(overflow.sum())
+        return memc, np.minimum(mem_n, cap) * ~overflow, overflow

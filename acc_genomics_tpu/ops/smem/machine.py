@@ -164,7 +164,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # whose chains outgrow the cap are flagged and rerun on the host —
     # the same graceful-degradation contract as interval overflow.
     LB = min(L + 1, max(params.curr_cap, 8))
-    seq_tm = seq_tm.astype(I32)  # hosts upload uint8; the cast is free
+    seq_tm = seq_tm.astype(I32)  # hosts upload uint8 (uint8 compute A/B'd neutral)
     if max_iters is None:
         # total probes+transitions per read is bounded by a small multiple
         # of its length per pass; 64x is a generous safety cap
@@ -184,7 +184,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     init = dict(
         st=jnp.where(ln > 0, S_P1_NEXTX, S_DONE).astype(I32),
         x=zb, i=zb, ic=zb, k=zb, m=zb,
-        min_intv=zb + 1,
+        mode=zb + 1, min_intv=zb + 1,
         p2_k=zb, p2_old_n=zb,
         curr_n=zb, back_n=zb, mem_n=zb,
         start=zb, stop=zb, ret=zb,
@@ -220,13 +220,16 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # iteration within each phase; iteration counts are unchanged, the
     # bodies just shrink.
 
-    def make_body(phase):
-        """smem1a machinery + its pass driver (phase 1 or 2)."""
-        p1 = phase == 1
+    def make_body12():
+        """smem1a machinery + the pass-1 and pass-2 drivers in ONE loop:
+        lanes flow from pass 1 straight into pass 2, so the iteration
+        count stays max over lanes of (p1 + p2) steps — a p1/p2 barrier
+        measured 20% slower than this combined form."""
 
         def body(s):
             st = s["st"]
-            is_drv = st == (S_P1_NEXTX if p1 else S_P2_NEXT)
+            is_p1x = st == S_P1_NEXTX
+            is_p2 = st == S_P2_NEXT
             is_fwd = st == S_FWD
             is_bst = st == S_BSTART
             is_bck = st == S_BACK
@@ -249,19 +252,17 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             b_s = _read_row(s["bk2"], s["k"])
             b_st = _read_row(s["bk3"], s["k"])
             b_en = _read_row(s["bk4"], s["k"])
-            if not p1:
-                # mem row p2_k (pass-2 driver only)
-                p_s = _read_row(s["mm2"], s["p2_k"])
-                p_st = _read_row(s["mm3"], s["p2_k"])
-                p_en = _read_row(s["mm4"], s["p2_k"])
-                mid = (p_st + p_en) >> 1
+            # mem row p2_k (pass-2 driver)
+            p_s = _read_row(s["mm2"], s["p2_k"])
+            p_st = _read_row(s["mm3"], s["p2_k"])
+            p_en = _read_row(s["mm4"], s["p2_k"])
+            mid = (p_st + p_en) >> 1
 
             # one sequence read per lane, position selected by state
             pos = jnp.where(is_fwd, s["i"], s["x"])
             pos = jnp.where(is_bck, s["k"], pos)
             pos = jnp.where(is_fem, s["m"] - 1, pos)
-            if not p1:
-                pos = jnp.where(is_drv, mid, pos)
+            pos = jnp.where(is_p2, mid, pos)
             rd = seq_at(pos)
             rd_is_base = rd < 4
 
@@ -310,36 +311,39 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
                 l2, jnp.clip(rd, 0, 3)
             )
 
-            if p1:
-                # ================= S_P1_NEXTX =================
-                p1_done = is_drv & (s["x"] >= ln)
-                p1_enter = is_drv & (s["x"] < ln) & rd_is_base
-                p1_step = is_drv & (s["x"] < ln) & ~rd_is_base
-                upd("st", p1_done, jnp.full_like(st, S_DONE))
-                # -> enter smem1a at x (min_intv=1): init FWD
-                enter_any = p1_enter
-                upd("st", p1_enter, jnp.full_like(st, S_FWD))
-                upd("min_intv", p1_enter, jnp.ones_like(zb))
-                upd("x", p1_step, s["x"] + 1)
-                new_x = s["x"]
-            else:
-                # ================= S_P2_NEXT =================
-                p2_done = is_drv & (s["p2_k"] >= s["p2_old_n"])
-                p2_live = is_drv & (s["p2_k"] < s["p2_old_n"])
-                qual = (
-                    (p_en - p_st >= SPLIT_LEN)
-                    & (p_s <= SPLIT_WIDTH)
-                    & (s["p2_k"] < MAX_OUT)
-                )
-                p2_enter = p2_live & qual & rd_is_base  # rd = seq[mid]
-                p2_step = p2_live & ~(qual & rd_is_base)
-                upd("st", p2_done, jnp.full_like(st, S_DONE))
-                upd("st", p2_enter, jnp.full_like(st, S_FWD))
-                upd("x", p2_enter, mid)
-                upd("min_intv", p2_enter, p_s + 1)
-                upd("p2_k", p2_enter | p2_step, s["p2_k"] + 1)
-                enter_any = p2_enter
-                new_x = jnp.where(p2_enter, mid, s["x"])
+            # ================= S_P1_NEXTX =================
+            p1_done = is_p1x & (s["x"] >= ln)
+            p1_enter = is_p1x & (s["x"] < ln) & rd_is_base
+            p1_step = is_p1x & (s["x"] < ln) & ~rd_is_base
+            # -> pass-2 driver init
+            upd("st", p1_done, jnp.full_like(st, S_P2_NEXT))
+            upd("p2_old_n", p1_done, s["mem_n"])
+            upd("p2_k", p1_done, zb)
+            # -> enter smem1a at x (min_intv=1, mode=1): init FWD
+            enter_any = p1_enter
+            upd("st", p1_enter, jnp.full_like(st, S_FWD))
+            upd("min_intv", p1_enter, jnp.ones_like(zb))
+            upd("mode", p1_enter, jnp.ones_like(zb))
+            upd("x", p1_step, s["x"] + 1)
+
+            # ================= S_P2_NEXT =================
+            p2_done = is_p2 & (s["p2_k"] >= s["p2_old_n"])
+            p2_live = is_p2 & (s["p2_k"] < s["p2_old_n"])
+            qual = (
+                (p_en - p_st >= SPLIT_LEN)
+                & (p_s <= SPLIT_WIDTH)
+                & (s["p2_k"] < MAX_OUT)
+            )
+            p2_enter = p2_live & qual & rd_is_base  # rd = seq[mid]
+            p2_step = p2_live & ~(qual & rd_is_base)
+            upd("st", p2_done, jnp.full_like(st, S_DONE))
+            upd("st", p2_enter, jnp.full_like(st, S_FWD))
+            upd("x", p2_enter, mid)
+            upd("min_intv", p2_enter, p_s + 1)
+            upd("mode", p2_enter, zb + 2)
+            upd("p2_k", p2_enter | p2_step, s["p2_k"] + 1)
+            enter_any = enter_any | p2_enter
+            new_x = jnp.where(p2_enter, mid, s["x"])
 
             # shared smem1a-entry register init (x already set per path)
             upd("i", enter_any, new_x + 1)
@@ -474,13 +478,13 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             # ================= S_SKIP =================
             skp_done = is_skp & (s["ic"] >= s["curr_n"])
             skp_live = is_skp & ~skp_done
-            # final push of the trailing temp, then exit to this pass's driver
+            # final push of the trailing temp, then exit to the pass driver
             fin_push = skp_done & (s["t4"] - s["t3"] >= MIN_SEED_LEN)
-            if p1:
-                upd("x", skp_done, s["ret"])
-                upd("st", skp_done, jnp.full_like(st, S_P1_NEXTX))
-            else:
-                upd("st", skp_done, jnp.full_like(st, S_P2_NEXT))
+            back_p1 = skp_done & (s["mode"] == 1)
+            back_p2 = skp_done & (s["mode"] == 2)
+            upd("x", back_p1, s["ret"])
+            upd("st", back_p1, jnp.full_like(st, S_P1_NEXTX))
+            upd("st", back_p2, jnp.full_like(st, S_P2_NEXT))
             # skip-ahead: stop updates on continuation iterations only
             upd("stop", skp_live & ~s["skip_first"], c_end)
             max_len = s["t3"] + c_end
@@ -585,20 +589,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             return s
         return body_u
 
-    # ---- phase 1: all SMEMs -------------------------------------------
-    f1 = jax.lax.while_loop(cond, unrolled(make_body(1)), init)
-    unf1 = f1["st"] != S_DONE  # hit the safety cap mid-pass
-
-    # ---- phase 2: re-seed long low-occurrence SMEMs -------------------
-    init2 = dict(f1)
-    init2["bust"] = f1["bust"] | unf1
-    init2["st"] = jnp.where(
-        (ln > 0) & ~unf1, jnp.int32(S_P2_NEXT), jnp.int32(S_DONE)
-    )
-    init2["p2_k"] = zb
-    init2["p2_old_n"] = f1["mem_n"]
-    f2 = jax.lax.while_loop(cond, unrolled(make_body(2)), init2)
-    unf2 = f2["st"] != S_DONE
+    # ---- passes 1 + 2 (combined loop; lanes flow p1 -> p2) ------------
+    f2 = jax.lax.while_loop(cond, unrolled(make_body12()), init)
+    unf2 = f2["st"] != S_DONE  # hit the safety cap mid-pass
 
     # ---- phase 3: LAST-like scan (reduced carry) ----------------------
     init3 = dict(

@@ -19,26 +19,43 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
 from acc_genomics_tpu.io.synth import gen_smem_reads
 from acc_genomics_tpu.models import BwaMemSeeding
+from acc_genomics_tpu.models.bwa_mem import BwaMemDevicePipeline
 from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle
+from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome", type=int, default=2_000_000)
+    ap.add_argument("--npz", help="load a cached FMIndex .npz (genome scale)")
     ap.add_argument("--reads", type=int, default=1024)
     ap.add_argument("--read-len", type=int, default=101)
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--check", type=int, default=8)
+    ap.add_argument("--host-model", action="store_true",
+                    help="use the host-composed path instead of the "
+                    "device-resident pipeline")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    genome = rng.integers(0, 4, args.genome).astype(np.uint8)
     eng = GenomicsEngine()
     t0 = time.time()
-    fm = eng.load_reference(genome)
-    print(f"index: {time.time()-t0:.1f}s ({args.genome} bases)")
-    bm = BwaMemSeeding(eng)
+    if args.npz:
+        fm = FMIndex.load(args.npz)
+        eng.set_index(fm)
+        genome = fm.text[: fm.seq_len // 2]
+    else:
+        genome = rng.integers(0, 4, args.genome).astype(np.uint8)
+        fm = eng.load_reference(genome)
+    print(f"index: {time.time()-t0:.1f}s ({fm.seq_len // 2} bases)")
+    # device-resident pipeline (SA + text in HBM, fused SA-gather ->
+    # span-fetch -> left/right extension) unless --host-model
+    bm = (
+        BwaMemSeeding(eng)
+        if args.host_model
+        else BwaMemDevicePipeline(eng)
+    )
 
     # warm the jit cache at the production batch shape
     warm = gen_smem_reads(rng, genome, args.reads, read_len=args.read_len)
