@@ -38,6 +38,12 @@ class PairHMMConfig:
     min_accepted: float = 1e-28
     # Relative error tolerance for testing vs the fp64 oracle.
     rel_tol: float = 5e-3
+    # Flat-path upload representation: "quals" ships uint8 byte planes
+    # (~1/8 the bytes; coefficients computed on device — right for
+    # bandwidth-constrained links like the dev tunnel), "f32" ships
+    # precomputed coefficient planes (~4x faster device program — right
+    # for PCIe-attached hosts).
+    upload: str = "quals"
 
     @property
     def max_read_len(self) -> int:

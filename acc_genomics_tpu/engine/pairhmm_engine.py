@@ -181,14 +181,28 @@ class PairHMMEngine:
 
         # outliers beyond the largest bucket run on the host engine, like
         # the reference's per-segment AVX fallback (computePairhmmFalcon
-        # `violate` -> computePairhmmAVXSegment, FalconPairHMM.cpp:609-611)
-        fits = [
-            k
-            for k in range(n)
-            if read_lens[k] <= self.config.max_read_len
-            and hap_lens[k] <= self.config.max_hap_len
-        ]
-        over = [k for k in range(n) if k not in set(fits)] if len(fits) < n else []
+        # `violate` -> computePairhmmAVXSegment, FalconPairHMM.cpp:609-611).
+        # On a mesh with a seq axis, pairs whose HAPLOTYPE (not read)
+        # exceeds the bucket cap route to the DP x SP shard instead — the
+        # collective-based replacement for the reference's host-side
+        # segmentation of oversized haps (PairHMMFpga.cpp:284-332).
+        seq_size = int(self.mesh.shape["seq"]) if self.mesh is not None else 1
+        sp_cap = self.config.max_hap_len * seq_size
+        fits, sp_idx, over = [], [], []
+        for k in range(n):
+            if (
+                read_lens[k] <= self.config.max_read_len
+                and hap_lens[k] <= self.config.max_hap_len
+            ):
+                fits.append(k)
+            elif (
+                seq_size > 1
+                and read_lens[k] <= self.config.max_read_len
+                and hap_lens[k] <= sp_cap
+            ):
+                sp_idx.append(k)
+            else:
+                over.append(k)
         raw = np.zeros(n, np.float32)
         host_thread = None
         if over:
@@ -217,6 +231,28 @@ class PairHMMEngine:
             # launch every bucket before collecting any: packing bucket k+1
             # overlaps device compute of bucket k (async dispatch)
             pending = []
+            if sp_idx:
+                # DP x SP: hap columns shard over "seq" (must divide by
+                # seq_size); pack to the next seq-aligned column count
+                from acc_genomics_tpu.parallel.sharded import (
+                    pairhmm_forward_dpsp,
+                )
+
+                self.stats["sp_pairs"] = (
+                    self.stats.get("sp_pairs", 0) + len(sp_idx)
+                )
+                max_hl = max(hap_lens[k] for k in sp_idx)
+                cols_sp = -(-max_hl // (seq_size * 128)) * seq_size * 128
+                rows_sp = self.config.read_buckets[-1]
+                sp_pack = pack_pairhmm_batch(
+                    [testcases[k] for k in sp_idx],
+                    rows=rows_sp, cols=cols_sp, dtype=np.float32,
+                    lane_multiple=self._data_size,
+                )
+                res = pairhmm_forward_dpsp(
+                    self.mesh, *[jnp.asarray(v) for v in sp_pack.arrays()]
+                )
+                pending.append((np.asarray(sp_idx, np.int64), sp_pack, res))
             for (rows, cols), idxs in plan.groups.items():
                 max_pairs = self.config.max_batch_pairs
                 for lo in range(0, len(idxs), max_pairs):
@@ -420,11 +456,17 @@ class PairHMMEngine:
                     g_hlens[: len(sel)] = hlens[sel]
                     g_offs[: len(sel)] = offs[sel]
                     g_hoffs[: len(sel)] = hoffs[sel]
-                    packed = native.pairhmm_pack_quals_flat(
-                        rs, q, i, d, c, g_offs, g_lens,
-                        hap, g_hoffs, g_hlens, rows, cols, HAP_PAD,
-                    )
-                    res = self._launch_quals(packed, g_lens, g_hlens)
+                    if getattr(self.config, "upload", "quals") == "f32":
+                        res = self._launch_flat_f32(
+                            rs, q, i, d, c, g_offs, g_lens,
+                            hap, g_hoffs, g_hlens, rows, cols,
+                        )
+                    else:
+                        packed = native.pairhmm_pack_quals_flat(
+                            rs, q, i, d, c, g_offs, g_lens,
+                            hap, g_hoffs, g_hlens, rows, cols, HAP_PAD,
+                        )
+                        res = self._launch_quals(packed, g_lens, g_hlens)
                     self.stats["device_calls"] += 1
                     pending.append((sel, res))
             if pending:
@@ -442,12 +484,49 @@ class PairHMMEngine:
             rs, q, i, d, c, offs, lens, hap, hoffs, hlens, raw
         )
 
-    def _launch_quals(self, packed, g_lens, g_hlens):
-        """Enqueue one byte-plane bucket from pre-packed planes."""
+    def _launch_flat_f32(
+        self, rs, q, i, d, c, g_offs, g_lens, hap, g_hoffs, g_hlens,
+        rows, cols,
+    ):
+        """Enqueue one bucket via the native f32 coefficient pack: two
+        contiguous buffers + one int32 side-band = three H2D transfers
+        (each device_put pays a full round trip on the dev tunnel), and
+        the kernel consumes coefficients directly (no device-side table
+        work — measured ~4x the byte-plane path's program time)."""
+        from acc_genomics_tpu import native
         from acc_genomics_tpu.ops.pairhmm.kernel import (
-            pairhmm_forward_pallas_from_quals,
+            LANES,
+            pairhmm_forward_pallas_packed_f32,
         )
-        from acc_genomics_tpu.ops.pairhmm.kernel import LANES
+
+        big_f, big_i = native.pairhmm_pack_flat_f32(
+            rs, q, i, d, c, g_offs, g_lens, hap, g_hoffs, g_hlens,
+            rows, cols,
+            self.ctx32.ph2pr, self.ctx32.match_to_match,
+            self.ctx32.initial_constant,
+        )
+        bp = big_f.shape[1]
+        nd = rows + g_hlens.reshape(-1, LANES).max(axis=1)
+        bd = ((nd + 3) // 4 * 4).astype(np.int32)
+        meta = np.zeros((1, bp), np.int32)
+        meta[0, : len(bd)] = bd
+        return pairhmm_forward_pallas_packed_f32(
+            jnp.asarray(big_f), jnp.asarray(big_i), jnp.asarray(meta),
+            rows=rows, interpret=self._interpret,
+        )
+
+    def _launch_quals(self, packed, g_lens, g_hlens):
+        """Enqueue one byte-plane bucket from pre-packed planes.
+
+        The six uint8 planes arrive as views of ONE contiguous buffer
+        (native pack) and upload as a single device_put; lens/haplens/
+        per-block diagonal counts ride in one (3, B) int32 side-band —
+        two H2D transfers total (each transfer pays a full round trip on
+        the dev tunnel)."""
+        from acc_genomics_tpu.ops.pairhmm.kernel import (
+            LANES,
+            pairhmm_forward_pallas_from_quals_packed,
+        )
 
         oq, oi, od, oc, ors, hap_ext = packed
         if self._tables is None:
@@ -457,22 +536,29 @@ class PairHMMEngine:
                     self.device,
                 ),
                 jax.device_put(
-                    jnp.asarray(self.ctx32.match_to_match.astype(np.float32)),
+                    jnp.asarray(
+                        self.ctx32.match_to_match.astype(np.float32)
+                    ),
                     self.device,
                 ),
             )
         rows = ors.shape[0]
+        bp = ors.shape[1]
+        big = oq.base if oq.base is not None else None
+        if big is None or big.shape != (5 * rows + hap_ext.shape[0], bp):
+            big = np.concatenate([oq, oi, od, oc, ors, hap_ext])
         # per-128-lane-block diagonal trip counts from the sorted haplens,
         # rounded to the kernel's 4-diagonal unroll (block_diag_counts)
         nd = rows + g_hlens.reshape(-1, LANES).max(axis=1)
         bd = ((nd + 3) // 4 * 4).astype(np.int32)
-        return pairhmm_forward_pallas_from_quals(
-            jnp.asarray(oq), jnp.asarray(oi), jnp.asarray(od),
-            jnp.asarray(oc), jnp.asarray(ors), jnp.asarray(hap_ext),
-            jnp.asarray(g_lens), jnp.asarray(g_hlens),
-            *self._tables,
-            np.float32(self.ctx32.initial_constant),
-            block_diags=jnp.asarray(bd),
+        meta = np.zeros((3, bp), np.int32)
+        meta[0] = g_lens
+        meta[1] = g_hlens
+        meta[2, : len(bd)] = bd
+        return pairhmm_forward_pallas_from_quals_packed(
+            jnp.asarray(big), jnp.asarray(meta), *self._tables,
+            rows=rows,
+            initial_constant=float(self.ctx32.initial_constant),
             interpret=self._interpret,
         )
 

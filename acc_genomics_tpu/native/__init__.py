@@ -87,6 +87,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint8,
         _i8p, _i8p, _i8p, _i8p, _i8p, _i8p,
     ]
+    lib.pairhmm_expand_quals.argtypes = [
+        _i8p, _i8p, _i8p, _i8p, _i8p, _i8p, _i32p, _i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _f32p, _f32p, ctypes.c_float, _f32p, _i32p,
+    ]
     lib.smem_collect_batch_native.argtypes = [
         _i32p, ctypes.c_int64, ctypes.c_int64, _i64p,
         _i8p, _i64p, _i32p, ctypes.c_int32,
@@ -211,15 +216,23 @@ def pairhmm_pack_quals_flat(
 ):
     """Byte-plane pack from already-flat (concatenated) inputs — zero
     per-pair Python work; offs/lens select each pair (so a permutation is
-    just permuted offs/lens).  Returns (q, i, d, c, rs, hap_ext) time-major
-    uint8 arrays or None if the lib is unavailable."""
+    just permuted offs/lens).  The six planes are packed into ONE
+    contiguous (5*rows + rows + cols, bp) uint8 buffer so the engine
+    uploads a single array (each device_put pays a full round trip on
+    the dev tunnel).  Returns (q, i, d, c, rs, hap_ext) views into that
+    buffer (``.base``-shared) or None if the lib is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     bp = len(lens)
-    shape = (rows, bp)
-    outs = [np.empty(shape, np.uint8) for _ in range(5)]  # q i d c rs
-    hap_ext = np.empty((rows + cols, bp), np.uint8)
+    ndiag = rows + cols
+    big = np.empty((5 * rows + ndiag, bp), np.uint8)
+    oq = big[0:rows]
+    oi = big[rows : 2 * rows]
+    od = big[2 * rows : 3 * rows]
+    oc = big[3 * rows : 4 * rows]
+    ors = big[4 * rows : 5 * rows]
+    hap_ext = big[5 * rows :]
     lib.pairhmm_pack_quals(
         np.ascontiguousarray(rs, np.uint8), np.ascontiguousarray(q, np.uint8),
         np.ascontiguousarray(i, np.uint8), np.ascontiguousarray(d, np.uint8),
@@ -230,10 +243,51 @@ def pairhmm_pack_quals_flat(
         np.ascontiguousarray(hoffs, np.int64),
         np.ascontiguousarray(hlens, np.int32),
         bp, rows, cols, int(hap_pad),
-        *[a.reshape(-1) for a in outs], hap_ext.reshape(-1),
+        oq.reshape(-1), oi.reshape(-1), od.reshape(-1), oc.reshape(-1),
+        ors.reshape(-1), hap_ext.reshape(-1),
     )
-    oq, oi, od, oc, ors = outs
     return oq, oi, od, oc, ors, hap_ext
+
+
+def pairhmm_pack_flat_f32(
+    rs, q, i, d, c, offs, lens, hap, hoffs, hlens, rows, cols,
+    ph2pr, m2m, initial_constant,
+):
+    """Flat-input f32 coefficient pack into TWO contiguous buffers:
+
+    big_f   (8*rows + 1, bp) float32 — p_mm p_gapm p_mx p_xx p_my p_yy
+            em_match em_mis planes, then y0 in row 8*rows
+    big_i   (rows + rows + cols, bp) int32 — rs codes then hap_ext
+
+    Single-buffer outputs exist because each device_put pays a full
+    round trip on the dev tunnel.  Returns (big_f, big_i) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # stage 1: byte-plane pack (memcpy + blocked transpose, sequential)
+    packed = pairhmm_pack_quals_flat(
+        rs, q, i, d, c, offs, lens, hap, hoffs, hlens, rows, cols, 5
+    )
+    if packed is None:
+        return None
+    oq, oi, od, oc, ors, hap_ext_u8 = packed
+    bp = len(lens)
+    ndiag = rows + cols
+    big_f = np.empty((8 * rows + 1, bp), np.float32)
+    big_i = np.empty((rows + ndiag, bp), np.int32)
+    # stage 2: sequential-stream table expansion
+    lib.pairhmm_expand_quals(
+        oq.reshape(-1), oi.reshape(-1), od.reshape(-1), oc.reshape(-1),
+        ors.reshape(-1), hap_ext_u8.reshape(-1),
+        np.ascontiguousarray(lens, np.int32),
+        np.ascontiguousarray(hlens, np.int32),
+        rows, cols, bp,
+        np.ascontiguousarray(ph2pr, np.float32),
+        np.ascontiguousarray(m2m, np.float32),
+        float(initial_constant),
+        big_f.reshape(-1), big_i.reshape(-1),
+    )
+    return big_f, big_i
 
 
 def pairhmm_pack_quals_native(testcases, rows, cols, hap_pad, pad_to: int = 0):

@@ -234,7 +234,18 @@ def _extend_kernel(
             wr(9, max_off)
             return 0
 
-        jax.lax.fori_loop(0, nd, row_step, 0)
+        # true early exit: stop as soon as every lane in the block has
+        # broken (m == 0) — the reference's per-seed `break`
+        # (bwa-sw/sdaccel/smithwaterman.cpp:251); the condition reads the
+        # alive flags from VMEM each trip
+        def loop_cond(i):
+            return jnp.logical_and(i < nd, jnp.max(rd(3)) > 0)
+
+        def loop_body(i):
+            row_step(i, 0)
+            return i + 1
+
+        jax.lax.while_loop(loop_cond, loop_body, jnp.int32(0))
         max_score, max_off = rd(4), rd(9)
 
         reg_score = jnp.where(round_active, max_score, reg_score)

@@ -349,6 +349,58 @@ def forward_from_pack_pallas(pack: PackedPairHMMBatch, interpret: bool = False):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def pairhmm_forward_pallas_packed_f32(
+    big_f, big_i, meta, rows: int, interpret: bool = False,
+):
+    """Single-upload form of the f32-coefficient forward: ``big_f`` is
+    the (8*rows + 1, B) float32 buffer (8 coefficient planes + y0 row),
+    ``big_i`` the (rows + rows + cols, B) int32 buffer (rs codes +
+    hap_ext), ``meta`` a (1, B) int32 side-band holding the per-block
+    diagonal counts in its first B/128 slots.  Three H2D transfers
+    instead of twelve — each device_put pays a full round trip on the
+    dev tunnel."""
+    bsz = big_f.shape[1]
+    planes = [big_f[k * rows : (k + 1) * rows] for k in range(8)]
+    y0 = big_f[8 * rows]
+    rs = big_i[:rows]
+    hap_ext = big_i[rows:]
+    bd = meta[0, : bsz // LANES]
+    return pairhmm_forward_pallas(
+        *planes, rs, hap_ext, y0, block_diags=bd, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "initial_constant", "interpret")
+)
+def pairhmm_forward_pallas_from_quals_packed(
+    big, meta, ph2pr, m2m, rows: int, initial_constant: float,
+    interpret: bool = False,
+):
+    """Single-upload form of the byte-plane forward: ``big`` is the
+    (5*rows + rows + cols, B) uint8 buffer from the native packer (5 qual
+    planes + hap_ext stacked) and ``meta`` the (3, B) int32 side-band
+    (rslen, haplen, per-block diagonal counts in the first B/128 slots).
+    One H2D transfer instead of eight — each device_put pays a full
+    round trip on the dev tunnel."""
+    bsz = big.shape[1]
+    q = big[0:rows]
+    i = big[rows : 2 * rows]
+    d = big[2 * rows : 3 * rows]
+    c = big[3 * rows : 4 * rows]
+    rs = big[4 * rows : 5 * rows]
+    hap_ext = big[5 * rows :]
+    rslen = meta[0]
+    haplen = meta[1]
+    bd = meta[2, : bsz // LANES]
+    return pairhmm_forward_pallas_from_quals(
+        q, i, d, c, rs, hap_ext, rslen, haplen,
+        ph2pr, m2m, jnp.float32(initial_constant),
+        block_diags=bd, interpret=interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pairhmm_forward_pallas_from_quals(
     q, i, d, c, rs, hap_ext, rslen, haplen,
