@@ -339,7 +339,17 @@ class PairHMMEngine:
         offs: Optional[np.ndarray] = None,
         hoffs: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """log10-likelihoods from concatenated (wire-format) inputs.
+        """log10-likelihoods from concatenated (wire-format) inputs."""
+        return self._flat_finalize(
+            *self._flat_launch(rs, q, i, d, c, lens, hap, hlens, offs, hoffs)
+        )
+
+    def _flat_launch(
+        self, rs, q, i, d, c, lens, hap, hlens, offs=None, hoffs=None
+    ):
+        """Pack + enqueue all buckets of one flat batch WITHOUT fetching;
+        the returned state finalizes via _flat_finalize.  See
+        compute_pairs_flat for semantics.
 
         The zero-Python-per-pair path: rs/q/i/d/c are the per-read byte
         streams concatenated in pair order (lens gives each pair's read
@@ -359,7 +369,7 @@ class PairHMMEngine:
         hlens = np.asarray(hlens, np.int32)
         n = len(lens)
         if n == 0:
-            return np.zeros(0, np.float64)
+            return ("done", np.zeros(0, np.float64)), None
         if offs is None:
             offs = np.zeros(n, np.int64)
             if n > 1:
@@ -385,7 +395,7 @@ class PairHMMEngine:
                 )
                 for k in range(n)
             ]
-            return self.compute_pairs(tcs)
+            return ("done", self.compute_pairs(tcs)), None
 
         self.stats["pairs"] += n
         rs = np.ascontiguousarray(rs, np.uint8)
@@ -447,7 +457,12 @@ class PairHMMEngine:
                     sel = idxs[lo : lo + max_pairs]
                     # haplen-sorted lanes keep per-block trip counts tight
                     sel = sel[np.argsort(-hlens[sel], kind="stable")]
-                    bp = -(-len(sel) // LANES) * LANES
+                    # power-of-two lane ladder: batch-to-batch bucket-mix
+                    # jitter must not mint fresh jit shapes (pad lanes are
+                    # inert: len 0, per-block trip counts stay minimal)
+                    bp = LANES
+                    while bp < len(sel):
+                        bp *= 2
                     g_lens = np.zeros(bp, np.int32)
                     g_hlens = np.zeros(bp, np.int32)
                     g_offs = np.zeros(bp, np.int64)
@@ -469,15 +484,30 @@ class PairHMMEngine:
                         res = self._launch_quals(packed, g_lens, g_hlens)
                     self.stats["device_calls"] += 1
                     pending.append((sel, res))
-            if pending:
-                allres = np.asarray(
-                    jnp.concatenate([r for _, r in pending])
-                )
-                col = 0
-                for sel, res in pending:
-                    w = res.shape[0]
-                    raw[sel] = allres[col : col + len(sel)]
-                    col += w
+            # concatenate per-bucket results ON DEVICE now (async); the
+            # single D2H happens in _flat_finalize
+            allres_dev = (
+                jnp.concatenate([r for _, r in pending]) if pending else None
+            )
+        state = (
+            "pending", rs, q, i, d, c, offs, lens, hap, hoffs, hlens,
+            raw, pending, allres_dev, host_thread,
+        )
+        return state, None
+
+    def _flat_finalize(self, state, _):
+        """Fetch + scatter + fp64 epilogue for a _flat_launch state."""
+        if state[0] == "done":
+            return state[1]
+        (_, rs, q, i, d, c, offs, lens, hap, hoffs, hlens,
+         raw, pending, allres_dev, host_thread) = state
+        if allres_dev is not None:
+            allres = np.asarray(allres_dev)
+            col = 0
+            for sel, res in pending:
+                w = res.shape[0]
+                raw[sel] = allres[col : col + len(sel)]
+                col += w
         if host_thread is not None:
             host_thread.join()
         return self._epilogue_flat(
@@ -596,6 +626,32 @@ class PairHMMEngine:
                     ctx64.log10_initial_constant
                 )
         return out
+
+    def compute_pairs_flat_stream(self, batches) -> list:
+        """Pipelined multi-batch flat computation: every batch's buckets
+        are packed and LAUNCHED before any result is fetched, so host
+        packing of batch k+1 overlaps device compute of batch k and the
+        final D2H is one transfer per batch — the steady-state streaming
+        form of the reference's double-buffered host pipeline
+        (bwa-sw/intel/aocl KernelWorker).
+
+        batches: iterable of (rs, q, i, d, c, lens, hap, hlens) tuples.
+        Returns a list of per-batch log10-likelihood arrays.
+
+        window bounds the in-flight batches: the dev-tunnel runtime
+        degrades sharply once its async queue backs up (measured ~10x
+        per-launch stalls past ~4 queued batches), and a depth-2 pipeline
+        already overlaps pack(k+1) with device(k).
+        """
+        states: list = []
+        outs: list = []
+        for b in batches:
+            states.append(self._flat_launch(*b))
+            if len(states) > 2:
+                outs.append(self._flat_finalize(*states.pop(0)))
+        while states:
+            outs.append(self._flat_finalize(*states.pop(0)))
+        return outs
 
     def compute_matrix_flat(
         self, rs, q, i, d, c, read_lens, hap, hap_lens

@@ -145,13 +145,14 @@ class EngineServer:
                 self.engine.load_reference(req["genome"])
             return {"ok": np.array([1])}
         if op == OP_PAIRHMM:
-            reads = []
-            rl = req["read_lens"]
-            flats = {k: _decode_ragged(req[k], rl) for k in ("rs", "q", "i", "d", "c")}
-            for j in range(len(rl)):
-                reads.append({k: flats[k][j] for k in flats})
-            haps = _decode_ragged(req["haps"], req["hap_lens"])
-            lik = self.engine.pairhmm_matrix(reads, haps)
+            # the wire format IS the flat ingestion format (concatenated
+            # byte streams + length vectors): feed it straight to the
+            # zero-per-pair flat matrix path
+            lik = self.engine.pairhmm.compute_matrix_flat(
+                req["rs"], req["q"], req["i"], req["d"], req["c"],
+                req["read_lens"].astype(np.int32),
+                req["haps"], req["hap_lens"].astype(np.int32),
+            )
             return {"lik": lik}
         if op == OP_SMEM:
             reads = _decode_ragged(req["reads"], req["read_lens"])

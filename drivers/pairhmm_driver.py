@@ -65,9 +65,64 @@ def run_case(engine, reads, haps, golden=None, board=None, check_frac=1.0):
     return n_bad, float(rel.max()), rate, dt
 
 
+def run_big(engine, n_batches=6, n_reads=1024, n_haps=16):
+    """Production-scale streamed run: N batches of reads x haps pairs,
+    launched back-to-back (pack of batch k+1 overlaps device compute of
+    batch k), fetched at the end — the steady-state pipelined form.
+    Reports raw wall GCUPS; spot-checks one batch against the oracle."""
+    rng = np.random.default_rng(1)
+    raw_batches, fargs, cells = [], [], 0
+    for _ in range(n_batches):
+        reads, haps = gen_pairhmm_input(
+            rng, n_reads, n_haps, max_read_len=150, max_hap_len=380,
+            derived=True,
+        )
+        f = _flat_matrix_args(reads, haps)
+        rl, hl = f[5], f[7]
+        cells += int((rl.astype(np.int64)[:, None] * hl[None, :]).sum())
+        # expand to pair-level offs sharing the streams
+        n_r, n_h = len(rl), len(hl)
+        roffs = np.zeros(n_r, np.int64)
+        np.cumsum(rl[:-1].astype(np.int64), out=roffs[1:])
+        hoffs0 = np.zeros(n_h, np.int64)
+        np.cumsum(hl[:-1].astype(np.int64), out=hoffs0[1:])
+        fargs.append(
+            (f[0], f[1], f[2], f[3], f[4], np.repeat(rl, n_h), f[6],
+             np.tile(hl, n_r), np.repeat(roffs, n_h), np.tile(hoffs0, n_r))
+        )
+        raw_batches.append((reads, haps))
+    eng = engine.pairhmm
+    # warm pass: each distinct (rows, cols, lanes) bucket shape costs a
+    # one-time compile; production streams amortize this, a benchmark
+    # must not time it
+    eng.compute_pairs_flat_stream(fargs)
+    t0 = time.time()
+    outs = eng.compute_pairs_flat_stream(fargs)
+    dt = time.time() - t0
+    # oracle spot check on batch 0
+    reads, haps = raw_batches[0]
+    lik0 = outs[0].reshape(len(reads), len(haps))
+    bad = 0
+    for k in range(8):
+        want = pairhmm_loglik_oracle(
+            reads[k]["rs"], reads[k]["q"], reads[k]["i"], reads[k]["d"],
+            reads[k]["c"], haps[0],
+        )
+        if abs(lik0[k, 0] - want) > 5e-3 * abs(want):
+            bad += 1
+    print(
+        f"big: {n_batches} x {n_reads}x{n_haps} pairs streamed, "
+        f"{cells/1e6:.0f}M cells in {dt:.2f}s -> {cells/dt/1e9:.2f} GCUPS "
+        f"{'FAIL' if bad else 'ok'}"
+    )
+    return bad
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--syn", type=int, default=0, help="synthetic tests")
+    ap.add_argument("--big", type=int, default=0,
+                    help="streamed production-scale batches (pipelined)")
     ap.add_argument(
         "--independent", action="store_true",
         help="independent random reads/haps (underflow-heavy, the "
@@ -80,6 +135,10 @@ def main():
     engine = GenomicsEngine()
     board = Scoreboard()
     failures = 0
+    if args.big:
+        failures = run_big(engine, n_batches=args.big)
+        print("PASSED" if not failures else "FAILED")
+        return 1 if failures else 0
     if args.real:
         inputs = sorted(glob.glob(os.path.join(args.real, "input*")))
         for inp in inputs:

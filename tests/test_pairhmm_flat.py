@@ -60,3 +60,19 @@ def test_flat_pallas_interpret_with_oversize(rng):
     assert b.stats.get("host_fallback", 0) == 1
     assert b.stats["device_calls"] >= 1
     np.testing.assert_allclose(got, want, rtol=5e-3)
+
+
+def test_flat_stream_matches_single_calls(rng):
+    tcs_batches = [
+        gen_pairhmm_pairs(rng, 40, max_read_len=30, max_hap_len=60)
+        for _ in range(3)
+    ]
+    cfg = PairHMMConfig(read_buckets=(32, 64), hap_buckets=(64,))
+    eng = PairHMMEngine(cfg, use_pallas=False)
+    eng.min_device_cells = 0
+    batches = [_flatten(t) for t in tcs_batches]
+    got = eng.compute_pairs_flat_stream(batches)
+    for b, g in zip(batches, got):
+        eng2 = PairHMMEngine(cfg, use_pallas=False)
+        eng2.min_device_cells = 0
+        np.testing.assert_allclose(g, eng2.compute_pairs_flat(*b), rtol=1e-12)

@@ -125,3 +125,32 @@ def test_machine_curr_cap_bust_flags_host_rerun(rng):
     for r, g in zip(reads, out):
         assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
     assert eng.stats["overflow_reruns"] > 0
+
+
+def test_repeat_heavy_genome_default_caps(rng):
+    """Repeat-heavy genome (tandem 8-mer motif): backward chains stay wide
+    for the whole read, stressing the default curr/back caps and the
+    iteration budget.  The contract: every lane either finishes EXACTLY
+    or is flagged for host rerun — never silently wrong — and the engine
+    output equals the oracle either way."""
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+
+    motif = rng.integers(0, 4, 8).astype(np.uint8)
+    genome = np.tile(motif, 2500)  # 20 kb of pure tandem repeat
+    # break perfect periodicity a little so passes do real work
+    mut = rng.random(len(genome)) < 0.02
+    genome[mut] = (genome[mut] + rng.integers(1, 4, mut.sum())) % 4
+    fm = FMIndex.build(genome)
+    reads = gen_smem_reads(rng, genome, 6, read_len=101, error_rate=0.01)
+    got, ovf = smem_batch_machine(fm, reads, seq_len=128)
+    checked_exact = 0
+    for r, g, o in zip(reads, got, ovf):
+        want = mem_collect_intv_oracle(fm, r)
+        if not o:
+            assert _canon(g) == _canon(want)
+            checked_exact += 1
+    # engine-level: overflow/bust lanes rerun on host -> always exact
+    eng = SmemEngine(fm)
+    out = eng.collect(reads)
+    for r, g in zip(reads, out):
+        assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
