@@ -52,14 +52,51 @@ class HaplotypeCallerCore:
         batches (PairHMMWorker.cpp:217-222).
         """
         sw_refs, sw_alts = [], []
-        tcs = []
         for ref_win, haps, reads in regions:
             sw_refs.extend([ref_win] * len(haps))
             sw_alts.extend(haps)
-            tcs.extend(dict(hap=h, **r) for r in reads for h in haps)
+
+        # flat wire-format PairHMM: reads and haps are concatenated ONCE;
+        # the (read x hap) cross product per region is just index
+        # arithmetic into the shared streams (no per-pair dicts)
+        all_reads = [r for _, _, reads in regions for r in reads]
+        all_haps = [h for _, haps, _ in regions for h in haps]
+        cat = lambda key: (
+            np.concatenate([np.asarray(r[key], np.uint8) for r in all_reads])
+            if all_reads else np.zeros(0, np.uint8)
+        )
+        rlens = np.array([len(r["rs"]) for r in all_reads], np.int32)
+        hlens = np.array([len(h) for h in all_haps], np.int32)
+        hapc = (
+            np.concatenate([np.asarray(h, np.uint8) for h in all_haps])
+            if all_haps else np.zeros(0, np.uint8)
+        )
+        roffs = np.zeros(len(rlens), np.int64)
+        if len(rlens) > 1:
+            np.cumsum(rlens[:-1].astype(np.int64), out=roffs[1:])
+        hoffs = np.zeros(len(hlens), np.int64)
+        if len(hlens) > 1:
+            np.cumsum(hlens[:-1].astype(np.int64), out=hoffs[1:])
+        p_offs, p_lens, p_hoffs, p_hlens = [], [], [], []
+        ri = hi = 0
+        for ref_win, haps, reads in regions:
+            nr, nh = len(reads), len(haps)
+            p_offs.append(np.repeat(roffs[ri : ri + nr], nh))
+            p_lens.append(np.repeat(rlens[ri : ri + nr], nh))
+            p_hoffs.append(np.tile(hoffs[hi : hi + nh], nr))
+            p_hlens.append(np.tile(hlens[hi : hi + nh], nr))
+            ri += nr
+            hi += nh
 
         cigars_flat = self.engine.sw.align(sw_refs, sw_alts, self.overhang_strategy)
-        liks_flat = self.engine.pairhmm.compute_pairs(tcs)
+        liks_flat = self.engine.pairhmm.compute_pairs_flat(
+            cat("rs"), cat("q"), cat("i"), cat("d"), cat("c"),
+            np.concatenate(p_lens) if p_lens else np.zeros(0, np.int32),
+            hapc,
+            np.concatenate(p_hlens) if p_hlens else np.zeros(0, np.int32),
+            offs=np.concatenate(p_offs) if p_offs else np.zeros(0, np.int64),
+            hoffs=np.concatenate(p_hoffs) if p_hoffs else np.zeros(0, np.int64),
+        )
 
         out: List[RegionResult] = []
         c_off = 0

@@ -581,10 +581,11 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # between sub-steps fuse on chip.  DONE lanes no-op, so overshooting
     # by < UNROLL steps is harmless.
     UNROLL = 4
+    UNROLL_P3 = 8  # pass-3 body is ~1/3 the state: deeper unroll pays
 
-    def unrolled(body):
+    def unrolled(body, k=UNROLL):
         def body_u(s):
-            for _ in range(UNROLL):
+            for _ in range(k):
                 s = body(s)
             return s
         return body_u
@@ -602,7 +603,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         mm3=f2["mm3"], mm4=f2["mm4"],
         iters=f2["iters"],
     )
-    f3 = jax.lax.while_loop(cond, unrolled(body3), init3)
+    f3 = jax.lax.while_loop(cond, unrolled(body3, UNROLL_P3), init3)
 
     # lanes still running when the safety cap fires, or whose curr/back
     # chains outgrew the capped buffers, are reported as "unfinished" by
