@@ -66,7 +66,6 @@ def _extend_kernel(
     # Mosaic cannot yield sub-vreg (1, 128) vectors from scf loops
     QP = q_ref.shape[0]
     blk = pl.program_id(0)
-    qc = q_ref[:]  # (QP, L) query codes
     qlen = qlen_ref[:]  # (1, L)
     tlen = tlen_ref[:]
     h0 = h0_ref[:]
@@ -74,37 +73,13 @@ def _extend_kernel(
     max_del = maxdel_ref[:]
     nd = nd_ref[blk]
 
-    shape = qc.shape
     lane = (1, LANES)
-    jj = jax.lax.broadcasted_iota(I32, shape, 0)
     zero = jnp.zeros(lane, I32)
-    zero2 = jnp.zeros(shape, I32)
-    neg2 = jnp.full(shape, NEG, I32)
     oe_del = O_DEL + E_DEL
     oe_ins = O_INS + E_INS
-    q_amb = qc >= 4
 
-    # row 0 of the DP: j==0 -> h0, else max(h0 - oe_ins - (j-1)*e_ins, 0)
-    tmp_eme = jnp.maximum(h0 - oe_ins, 0)
-    row0_m = jnp.where(
-        jj == 0,
-        jnp.broadcast_to(h0, shape),
-        jnp.maximum(jnp.broadcast_to(tmp_eme, shape) - (jj - 1) * E_INS, 0),
-    )
-
-    ehh_buf[:] = zero2
-    ehe_buf[:] = zero2
-
-    def cummax_log(u):
-        sh = 1
-        while sh < QP:
-            rolled = pltpu.roll(u, sh, 0)
-            u = jnp.maximum(u, jnp.where(jj < sh, neg2, rolled))
-            sh <<= 1
-        return u
-
-    def alive_any(alive):
-        return jnp.max(alive.astype(I32)) > 0
+    ehh_buf[:] = jnp.zeros((QP, LANES), I32)
+    ehe_buf[:] = jnp.zeros((QP, LANES), I32)
 
     def rd(r):
         return reg_buf[pl.ds(r, 1), :]
@@ -125,6 +100,26 @@ def _extend_kernel(
         wr(2, h0 - O_DEL)  # h1_init
         wr(3, round_active.astype(I32))  # alive
 
+        # sliding query window: a round-k band spans <= 2*aw1max + 2 query
+        # rows, so long query buckets only touch a W-row vreg window per
+        # target row (band windowing).  W covers the worst band plus the
+        # 8-row alignment slack of the window origin; W == QP (short
+        # buckets) degenerates to the full-width path (w0 == 0 always).
+        W = min(QP, -(-(2 * (W_IN << k) + 9) // 8) * 8)
+        aw1max = jnp.max(aw1)
+        jj_loc = jax.lax.broadcasted_iota(I32, (W, LANES), 0)
+        zero_w = jnp.zeros((W, LANES), I32)
+        neg_w = jnp.full((W, LANES), NEG, I32)
+        wshape = (W, LANES)
+
+        def cummax_w(u):
+            sh = 1
+            while sh < W:
+                rolled = pltpu.roll(u, sh, 0)
+                u = jnp.maximum(u, jnp.where(jj_loc < sh, neg_w, rolled))
+                sh <<= 1
+            return u
+
         def row_step(i, _):
             beg, end, h1_init = rd(0), rd(1), rd(2)
             alive = rd(3) != 0
@@ -137,31 +132,52 @@ def _extend_kernel(
             h1_init = jnp.where(jnp.logical_and(alive, at0), h1_init - E_DEL, h1_init)
             h1_beg = jnp.where(at0, jnp.maximum(h1_init, 0), 0)
 
+            # window origin: multiple of 8, always <= every lane's beg
+            # (w0 = clip(i - aw1max) rounded down; beg >= i - aw1)
+            w0 = jnp.clip(i - aw1max, 0, QP - W)
+            w0 = (w0 // 8) * 8
+            jj = jj_loc + w0
+            qc_w = q_ref[pl.ds(w0, W), :]
+            ehh = ehh_buf[pl.ds(w0, W), :]
+            ehe = ehe_buf[pl.ds(w0, W), :]
+
             in_band = jnp.logical_and(jj >= beg, jj < end)
             # mat[t_i, q_j] arithmetically (bwa_fill_scmat): match +1,
             # mismatch -4, either-ambiguous -1
-            amb = jnp.logical_or(jnp.broadcast_to(t_i >= 4, shape), q_amb)
+            amb = jnp.logical_or(jnp.broadcast_to(t_i >= 4, wshape), qc_w >= 4)
             sc = jnp.where(
                 amb, SC_AMB,
-                jnp.where(jnp.broadcast_to(t_i, shape) == qc, SC_MATCH, SC_MISMATCH),
+                jnp.where(jnp.broadcast_to(t_i, wshape) == qc_w, SC_MATCH, SC_MISMATCH),
             )
             first = i == 0
-            m_in = jnp.where(first, row0_m, ehh_buf[:])
-            e_in = jnp.where(first, zero2, ehe_buf[:])
+            # row 0 of the DP: j==0 -> h0, else max(h0 - oe_ins - (j-1)*e_ins, 0)
+            row0_m_w = jnp.where(
+                jj == 0,
+                jnp.broadcast_to(h0, wshape),
+                jnp.maximum(
+                    jnp.broadcast_to(jnp.maximum(h0 - oe_ins, 0), wshape)
+                    - (jj - 1) * E_INS,
+                    0,
+                ),
+            )
+            m_in = jnp.where(first, row0_m_w, ehh)
+            e_in = jnp.where(first, zero_w, ehe)
             M = jnp.where(m_in != 0, m_in + sc, 0)
             t_del = jnp.maximum(M - oe_del, 0)
             e_out = jnp.maximum(e_in - E_DEL, t_del)
             t_ins = jnp.maximum(M - oe_ins, 0)
-            # f(j) = run(j-1) - (j-1)*e_ins with run = cummax(t_ins + j*e_ins)
-            run = cummax_log(jnp.where(in_band, t_ins + jj * E_INS, neg2))
-            f = jnp.where(jj < 1, neg2, pltpu.roll(run, 1, 0)) - (jj - 1) * E_INS
+            # f(j) = run(j-1) - (j-1)*e_ins with run = cummax(t_ins + j*e_ins);
+            # the roll wrap-in at window row 0 is guarded by the LOCAL index
+            # (that row is always <= beg, where f = 0 is correct/masked)
+            run = cummax_w(jnp.where(in_band, t_ins + jj * E_INS, neg_w))
+            f = jnp.where(jj_loc < 1, neg_w, pltpu.roll(run, 1, 0)) - (jj - 1) * E_INS
             f = jnp.maximum(f, 0)
             h = jnp.maximum(jnp.maximum(M, e_in), f)
             h = jnp.where(in_band, h, 0)
 
             # H(i, j-1): shift h down one row, inject h1_beg at j == beg
-            hprev = jnp.where(jj < 1, zero2, pltpu.roll(h, 1, 0))
-            hprev = jnp.where(jj == beg, jnp.broadcast_to(h1_beg, shape), hprev)
+            hprev = jnp.where(jj_loc < 1, zero_w, pltpu.roll(h, 1, 0))
+            hprev = jnp.where(jj == beg, jnp.broadcast_to(h1_beg, wshape), hprev)
 
             band_nonempty = end > beg
             h_end = jnp.max(
@@ -190,14 +206,14 @@ def _extend_kernel(
             backw = jnp.where(h1_last == 0, trail + 1, 0)
 
             # eh update in [beg, end) + eh[end] = (h1, 0); stale elsewhere
-            ehh_new = jnp.where(in_band, hprev, ehh_buf[:])
-            ehe_new = jnp.where(in_band, e_out, ehe_buf[:])
+            ehh_new = jnp.where(in_band, hprev, ehh)
+            ehe_new = jnp.where(in_band, e_out, ehe)
             at_end = jj == end
-            ehh_new = jnp.where(at_end, jnp.broadcast_to(h1_last, shape), ehh_new)
+            ehh_new = jnp.where(at_end, jnp.broadcast_to(h1_last, wshape), ehh_new)
             ehe_new = jnp.where(at_end, 0, ehe_new)
             row_active = jnp.logical_and(alive, i < tlen)
-            ehh_buf[:] = jnp.where(row_active, ehh_new, ehh_buf[:])
-            ehe_buf[:] = jnp.where(row_active, ehe_new, ehe_buf[:])
+            ehh_buf[pl.ds(w0, W), :] = jnp.where(row_active, ehh_new, ehh)
+            ehe_buf[pl.ds(w0, W), :] = jnp.where(row_active, ehe_new, ehe)
 
             # gscore: the scalar loop tests j == qlen after the row sweep
             j_after = jnp.maximum(beg, end)
