@@ -61,3 +61,35 @@ def test_pallas_extend_block_rows(rng):
         tasks.append(dict(query=q, target=t, h0=10))
     got = extend_tasks_pallas(tasks, 32, 64, interpret=True)
     _check(tasks, got)
+
+
+def test_pallas_extend_query_window(rng):
+    """Sliding query-window path: a small band parameter activates the
+    window at interpret-friendly shapes (W < QP); results must stay
+    bit-identical to the XLA scan."""
+    import jax.numpy as jnp
+
+    from acc_genomics_tpu.ops.extend.jax_impl import sw_extend_batch
+    from acc_genomics_tpu.ops.extend.kernel import LANES, sw_extend_pallas
+    from acc_genomics_tpu.ops.extend.reference import ExtendParams
+
+    p = ExtendParams(w=8)  # window W = 32 rows < QP
+    B, Q, T = LANES, 62, 96
+    q_tm = np.full((Q, B), 4, np.int32)
+    t_tm = np.full((T, B), 4, np.int32)
+    qlen = rng.integers(5, Q, B).astype(np.int32)
+    tlen = rng.integers(5, T, B).astype(np.int32)
+    for b in range(B):
+        q = rng.integers(0, 4, qlen[b])
+        q_tm[: qlen[b], b] = q
+        t = rng.integers(0, 4, tlen[b])
+        n = min(qlen[b], tlen[b])
+        t[:n] = np.where(rng.random(n) < 0.9, q[:n], t[:n])
+        t_tm[: tlen[b], b] = t
+    h0 = rng.integers(3, 30, B).astype(np.int32)
+    args = [jnp.asarray(x) for x in (q_tm, t_tm, qlen, tlen, h0, qlen, qlen)]
+    br = jnp.asarray(np.full(1, T, np.int32))
+    got = sw_extend_pallas(*args, br, interpret=True, params=p)
+    want = sw_extend_batch(*args, params=p)
+    for k in got:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
