@@ -106,8 +106,8 @@ def bench_sw(on_tpu):
     from acc_genomics_tpu.io.synth import gen_sw_batch
 
     rng = np.random.default_rng(0)
-    batch = 1024 if on_tpu else 64
-    K = 6 if on_tpu else 2
+    batch = 4096 if on_tpu else 64  # e2e scales with batch (1K: ~1.1, 4K: ~2.3 GCUPS)
+    K = 4 if on_tpu else 2
     eng = SWEngine()
     ref, alts = gen_sw_batch(rng, batch, ref_len=286)
     refs = [ref] * len(alts)
@@ -126,7 +126,7 @@ def bench_smem(on_tpu):
     from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
 
     rng = np.random.default_rng(0)
-    n_reads = 2048 if on_tpu else 128
+    n_reads = 16384 if on_tpu else 128  # reads/s scales with lanes to ~16K
     K = 3 if on_tpu else 1
     genome = gen_reference_with_repeats(rng, 100_000 if on_tpu else 20_000)
     eng = GenomicsEngine()
