@@ -142,6 +142,7 @@ class ExtendEngine:
             # hybrid CPU/device split of PairHMMWorker.cpp:201-270; the
             # native ksw_extend2 call releases the GIL)
             host_thread = None
+            host_err = []
             if host_idx:
                 from acc_genomics_tpu import native
 
@@ -170,7 +171,13 @@ class ExtendEngine:
 
                 import threading
 
-                host_thread = threading.Thread(target=host_work)
+                def host_work_guarded():
+                    try:
+                        host_work()
+                    except BaseException as e:  # re-raised after join
+                        host_err.append(e)
+
+                host_thread = threading.Thread(target=host_work_guarded)
                 host_thread.start()
             # ONE D2H transfer for every group: per-leaf fetches each pay
             # a ~25 ms round trip on the dev tunnel, so all (7, bsz_g)
@@ -181,6 +188,8 @@ class ExtendEngine:
                 )
             if host_thread is not None:
                 host_thread.join()
+                if host_err:
+                    raise host_err[0]
         col = 0
         for idxs, packed in pending:
             ia = np.asarray(idxs, np.int64)

@@ -215,8 +215,14 @@ class PairHMMEngine:
             self.stats["host_fallback"] = self.stats.get("host_fallback", 0) + len(over)
 
             def host_work():
-                raw[over] = self._host_forward([testcases[k] for k in over])
+                try:
+                    raw[over] = self._host_forward(
+                        [testcases[k] for k in over]
+                    )
+                except BaseException as e:  # re-raised after join
+                    host_err.append(e)
 
+            host_err = []
             host_thread = threading.Thread(target=host_work)
             host_thread.start()
 
@@ -275,6 +281,8 @@ class PairHMMEngine:
                     col += w
         if host_thread is not None:
             host_thread.join()
+            if host_err:
+                raise host_err[0]
         return self._epilogue(testcases, raw)
 
     def _host_forward(self, tcs) -> np.ndarray:
@@ -425,6 +433,7 @@ class PairHMMEngine:
             )
 
             def host_work():
+              try:
                 out = np.empty(len(over_idx), np.float32)
                 lib = native.get_lib()
                 lib.pairhmm_forward_batch_f32(
@@ -440,7 +449,10 @@ class PairHMMEngine:
                     np.float32(self.ctx32.initial_constant), out,
                 )
                 raw[over_idx] = out
+              except BaseException as e:  # re-raised after join
+                host_err.append(e)
 
+            host_err = []
             host_thread = threading.Thread(target=host_work)
             host_thread.start()
 
@@ -492,6 +504,7 @@ class PairHMMEngine:
         state = (
             "pending", rs, q, i, d, c, offs, lens, hap, hoffs, hlens,
             raw, pending, allres_dev, host_thread,
+            host_err if host_thread is not None else [],
         )
         return state, None
 
@@ -500,7 +513,7 @@ class PairHMMEngine:
         if state[0] == "done":
             return state[1]
         (_, rs, q, i, d, c, offs, lens, hap, hoffs, hlens,
-         raw, pending, allres_dev, host_thread) = state
+         raw, pending, allres_dev, host_thread, host_err) = state
         if allres_dev is not None:
             allres = np.asarray(allres_dev)
             col = 0
@@ -510,6 +523,8 @@ class PairHMMEngine:
                 col += w
         if host_thread is not None:
             host_thread.join()
+            if host_err:
+                raise host_err[0]
         return self._epilogue_flat(
             rs, q, i, d, c, offs, lens, hap, hoffs, hlens, raw
         )
@@ -647,7 +662,7 @@ class PairHMMEngine:
         outs: list = []
         for b in batches:
             states.append(self._flat_launch(*b))
-            if len(states) > 2:
+            if len(states) > 1:  # depth-2 window: at most 2 in flight
                 outs.append(self._flat_finalize(*states.pop(0)))
         while states:
             outs.append(self._flat_finalize(*states.pop(0)))

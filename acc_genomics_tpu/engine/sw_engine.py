@@ -67,6 +67,7 @@ class SWEngine:
                 continue
             groups.setdefault((br, ba), []).append(k)
         host_thread = None
+        host_err = []
         if host_idx:
             # run the native host engine on a worker thread CONCURRENTLY
             # with the device bucket launches below — the hybrid CPU/device
@@ -88,7 +89,13 @@ class SWEngine:
                         )
                     out[k] = res
 
-            host_thread = threading.Thread(target=host_work)
+            def host_work_guarded():
+                try:
+                    host_work()
+                except BaseException as e:  # re-raised after join
+                    host_err.append(e)
+
+            host_thread = threading.Thread(target=host_work_guarded)
             host_thread.start()
 
         if self.use_pallas:
@@ -176,6 +183,8 @@ class SWEngine:
                 out[k] = res
         if host_thread is not None:
             host_thread.join()
+            if host_err:
+                raise host_err[0]
         return out
 
     def align_one_ref(self, ref: np.ndarray, alts: Sequence[np.ndarray], strategy: int):

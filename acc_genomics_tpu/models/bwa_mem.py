@@ -104,12 +104,13 @@ class BwaMemSeeding:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wq", "wt", "flank", "use_pallas", "params"),
+    static_argnames=("wq", "wt", "flank", "use_pallas", "params", "text_guard"),
 )
 def _extend_seeds_fused(
     sa, text_pad, text_len, seq_pad, rlens,
     rows, qbeg, slen, readid, block_rows,
     wq: int, wt: int, flank: int, use_pallas: bool, params,
+    text_guard: int = TEXT_PAD,
 ):
     """One fused device step over N seed lanes.
 
@@ -152,8 +153,8 @@ def _extend_seeds_fused(
     lq = jnp.flip(slice2(seq_pad, readid, qbeg, wq), axis=1)  # read[qbeg-1-j]
     rq = slice2(seq_pad, readid, wq + qbeg + slen, wq)
     # targets from the padded text: left = text[pos-1-j], right = text[pos+slen+j]
-    lt = jnp.flip(slice1(text_pad, TEXT_PAD + pos - wt, wt), axis=1)
-    rt = slice1(text_pad, TEXT_PAD + pos + slen, wt)
+    lt = jnp.flip(slice1(text_pad, text_guard + pos - wt, wt), axis=1)
+    rt = slice1(text_pad, text_guard + pos + slen, wt)
 
     def run(q_nm, t_nm, ql, tl, h0):
         args = (
@@ -207,8 +208,13 @@ class BwaMemDevicePipeline:
         self.sa_dev = jax.device_put(
             jnp.asarray(fm.sa.astype(np.int32)), dev
         )
-        tp = np.full(fm.seq_len + 2 * TEXT_PAD, 4, np.uint8)
-        tp[TEXT_PAD : TEXT_PAD + fm.seq_len] = fm.text
+        # guard flanks sized to the worst span slice width, so
+        # dynamic_slice can never clamp near the text boundaries (a
+        # clamped slice would silently shift the reference window)
+        wt_max = -(-(engine.smem.config.seq_length + flank) // 64) * 64
+        self.text_guard = max(TEXT_PAD, wt_max)
+        tp = np.full(fm.seq_len + 2 * self.text_guard, 4, np.uint8)
+        tp[self.text_guard : self.text_guard + fm.seq_len] = fm.text
         self.text_dev = jax.device_put(jnp.asarray(tp), dev)
         self.params = engine.extend.config.params()
         self.stats = {"reads": 0, "seeds": 0, "device_calls": 0}
@@ -228,8 +234,9 @@ class BwaMemDevicePipeline:
 
         eng = self.engine
         seq_len_bucket = eng.smem.config.seq_length
+        max_rlen = max((len(r) for r in reads), default=0)
         for b in eng.smem.config.read_buckets:
-            if max((len(r) for r in reads), default=0) <= b:
+            if max_rlen <= b:
                 seq_len_bucket = b
                 break
         n_reads = len(reads)
@@ -312,6 +319,7 @@ class BwaMemDevicePipeline:
                 jnp.asarray(block_rows),
                 wq=wq, wt=wt, flank=self.flank,
                 use_pallas=use_pallas, params=self.params,
+                text_guard=self.text_guard,
             )
         )[:, :tot][:, inv]
         return hits, b_idx, (qbeg, slen, occ_per_seed), host_idx

@@ -59,24 +59,13 @@ class HaplotypeCallerCore:
         # flat wire-format PairHMM: reads and haps are concatenated ONCE;
         # the (read x hap) cross product per region is just index
         # arithmetic into the shared streams (no per-pair dicts)
+        from acc_genomics_tpu.native import cat_u8
+
         all_reads = [r for _, _, reads in regions for r in reads]
         all_haps = [h for _, haps, _ in regions for h in haps]
-        cat = lambda key: (
-            np.concatenate([np.asarray(r[key], np.uint8) for r in all_reads])
-            if all_reads else np.zeros(0, np.uint8)
-        )
-        rlens = np.array([len(r["rs"]) for r in all_reads], np.int32)
-        hlens = np.array([len(h) for h in all_haps], np.int32)
-        hapc = (
-            np.concatenate([np.asarray(h, np.uint8) for h in all_haps])
-            if all_haps else np.zeros(0, np.uint8)
-        )
-        roffs = np.zeros(len(rlens), np.int64)
-        if len(rlens) > 1:
-            np.cumsum(rlens[:-1].astype(np.int64), out=roffs[1:])
-        hoffs = np.zeros(len(hlens), np.int64)
-        if len(hlens) > 1:
-            np.cumsum(hlens[:-1].astype(np.int64), out=hoffs[1:])
+        cat = lambda key: cat_u8([r[key] for r in all_reads])[0]
+        _, roffs, rlens = cat_u8([r["rs"] for r in all_reads])
+        hapc, hoffs, hlens = cat_u8(list(all_haps))
         p_offs, p_lens, p_hoffs, p_hlens = [], [], [], []
         ri = hi = 0
         for ref_win, haps, reads in regions:

@@ -160,7 +160,9 @@ def cigar_walk(
     return res
 
 
-def _cat_u8(seqs):
+def cat_u8(seqs):
+    """Concatenate byte sequences into (flat uint8, int64 offs, int32 lens)
+    — the wire-format triple every flat path consumes."""
     n = len(seqs)
     lens = np.array([len(s) for s in seqs], np.int32)
     offs = np.zeros(n, np.int64)
@@ -188,8 +190,8 @@ def sw_align_host(refs, alts, strategy: int, params=None, max_elems: int = 1536)
 
         params = DEFAULT_SW_PARAMS
     b = len(refs)
-    rflat, roffs, rlens = _cat_u8(refs)
-    aflat, aoffs, alens = _cat_u8(alts)
+    rflat, roffs, rlens = cat_u8(refs)
+    aflat, aoffs, alens = cat_u8(alts)
     out_elems = np.zeros((b, max_elems, 2), np.int32)
     out_n = np.zeros(b, np.int32)
     out_off = np.zeros(b, np.int32)
@@ -327,9 +329,6 @@ def pairhmm_pack_quals_native(testcases, rows, cols, hap_pad, pad_to: int = 0):
     return oq, oi, od, oc, ors, hap_ext, lens, hlens
 
 
-_smem_tbl_cache = {}
-
-
 def smem_collect_host(fm, reads, params=None, max_out: int = 4096):
     """Native host 3-pass SMEM collection — the production-speed CPU
     fallback for overflow/bust/oversize reads (role of the reference's
@@ -343,19 +342,19 @@ def smem_collect_host(fm, reads, params=None, max_out: int = 4096):
         from acc_genomics_tpu.ops.smem.reference import DEFAULT_SMEM_PARAMS
 
         params = DEFAULT_SMEM_PARAMS
-    # fused (nblk, 8) probe table, cached per index identity
-    key = id(fm)
-    tbl = _smem_tbl_cache.get(key)
+    # fused (nblk, 8) probe table, cached ON the index object — an
+    # id()-keyed dict would serve a stale table when CPython recycles a
+    # freed FMIndex's address for the next genome
+    tbl = getattr(fm, "_native_probe_tbl", None)
     if tbl is None:
         nblk = fm.bwt_packed.shape[0]
         tbl = np.empty((nblk, 8), np.int32)
         tbl[:, :4] = fm.occ_ckpt[:nblk].astype(np.int32)
         tbl[:, 4:] = fm.bwt_packed.view(np.int32)
         tbl = np.ascontiguousarray(tbl)
-        _smem_tbl_cache.clear()  # one resident index at a time
-        _smem_tbl_cache[key] = tbl
+        fm._native_probe_tbl = tbl
     b = len(reads)
-    flat, offs, lens = _cat_u8(reads)
+    flat, offs, lens = cat_u8(reads)
     out_mem = np.zeros((b, max_out, 5), np.int64)
     out_n = np.zeros(b, np.int32)
     lib.smem_collect_batch_native(
@@ -397,8 +396,8 @@ def sw_extend_host(queries, targets, h0s, params=None):
 
         params = DEFAULT_EXTEND_PARAMS
     b = len(queries)
-    qflat, qoffs, qlens = _cat_u8(queries)
-    tflat, toffs, tlens = _cat_u8(targets)
+    qflat, qoffs, qlens = cat_u8(queries)
+    tflat, toffs, tlens = cat_u8(targets)
     out = np.zeros((b, 7), np.int32)
     lib.sw_extend_batch_native(
         qflat, qoffs, qlens, tflat, toffs, tlens,

@@ -358,6 +358,13 @@ void sw_align_batch_native(
       int rl = rlens[b], al = alens[b];
       int32_t* el = out_elems + (int64_t)b * max_elems * 2;
       if (rl <= 0 || al <= 0) { out_n[b] = 0; out_offset[b] = 0; continue; }
+      if (rl > 32767 || al > 32767) {
+        // gap-run lengths are stored int16; flag for oracle rerun
+        // (callers treat n > max_elems as overflow)
+        out_n[b] = max_elems + 1;
+        out_offset[b] = 0;
+        continue;
+      }
       const uint8_t* pr = ref + roffs[b];
       const uint8_t* pa = alt + aoffs[b];
       btr.assign((size_t)rl * al, 0);

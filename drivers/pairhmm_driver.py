@@ -25,16 +25,11 @@ from acc_genomics_tpu.utils.timer import Scoreboard
 
 
 def _flat_matrix_args(reads, haps):
-    cat = lambda key: (
-        np.concatenate([np.asarray(r[key], np.uint8) for r in reads])
-        if reads else np.zeros(0, np.uint8)
-    )
-    rlens = np.array([len(r["rs"]) for r in reads], np.int32)
-    hlens = np.array([len(h) for h in haps], np.int32)
-    hap = (
-        np.concatenate([np.asarray(h, np.uint8) for h in haps])
-        if haps else np.zeros(0, np.uint8)
-    )
+    from acc_genomics_tpu.native import cat_u8
+
+    cat = lambda key: cat_u8([r[key] for r in reads])[0]
+    rlens = cat_u8([r["rs"] for r in reads])[2]
+    hap, _, hlens = cat_u8(list(haps))
     return (cat("rs"), cat("q"), cat("i"), cat("d"), cat("c"), rlens,
             hap, hlens)
 

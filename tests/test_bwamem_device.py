@@ -46,3 +46,22 @@ def test_device_pipeline_array_form(rng):
     assert not host_idx
     # scores positive for real seeds
     assert (hits[4] >= slen).all()
+
+
+def test_device_pipeline_large_flank_near_boundaries(rng):
+    """flank large enough that the span width exceeds the default text
+    guard: the pipeline must auto-size its guard so dynamic slices never
+    clamp (a clamped slice silently shifts the reference window)."""
+    genome = gen_reference_with_repeats(rng, 3000)
+    eng = GenomicsEngine()
+    eng.load_reference(genome)
+    # reads sampled right at the genome edges
+    reads = [genome[:70].copy(), genome[-70:].copy(),
+             genome[1000:1070].copy()]
+    host = BwaMemSeeding(eng, max_occ=4, flank=300)
+    dev = BwaMemDevicePipeline(eng, max_occ=4, flank=300)
+    assert dev.text_guard >= 300 + eng.smem.config.seq_length
+    got = dev.map_reads(reads)
+    want = host.map_reads(reads)
+    for g, w in zip(got, want):
+        assert g == w

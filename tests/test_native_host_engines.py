@@ -125,3 +125,30 @@ def test_native_extend_custom_scoring():
     want = sw_extend_oracle(q, t, 20, params=p)
     for k in ("score", "qle", "tle", "gtle", "gscore", "max_off", "w"):
         assert int(got[k][0]) == want[k], k
+
+
+def test_native_smem_cache_not_stale_across_indexes():
+    """The probe-table cache lives on the FMIndex object: building a new
+    index (whose object may reuse the freed one's address) must never
+    serve the previous genome's table."""
+    from acc_genomics_tpu.io.synth import gen_reference_with_repeats
+    from acc_genomics_tpu.ops.smem.index import FMIndex
+    from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
+
+    def canon(z):
+        return sorted((i["x0"], i["x1"], i["s"], i["start"], i["end"]) for i in z)
+
+    rng = np.random.default_rng(6)
+    g1 = gen_reference_with_repeats(rng, 5000)
+    fm1 = FMIndex.build(g1)
+    r1 = g1[100:160].copy()
+    assert canon(native.smem_collect_host(fm1, [r1])[0]) == canon(
+        mem_collect_intv_oracle(fm1, r1)
+    )
+    del fm1  # free so the next build may recycle the address
+    g2 = gen_reference_with_repeats(rng, 5000)
+    fm2 = FMIndex.build(g2)
+    r2 = g2[100:160].copy()
+    assert canon(native.smem_collect_host(fm2, [r2])[0]) == canon(
+        mem_collect_intv_oracle(fm2, r2)
+    )
