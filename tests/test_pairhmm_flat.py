@@ -76,3 +76,20 @@ def test_flat_stream_matches_single_calls(rng):
         eng2 = PairHMMEngine(cfg, use_pallas=False)
         eng2.min_device_cells = 0
         np.testing.assert_allclose(g, eng2.compute_pairs_flat(*b), rtol=1e-12)
+
+
+@pytest.mark.skipif(not native.available(), reason="needs native lib")
+def test_flat_f32_upload_mode_interpret(rng):
+    """upload='f32' ships precomputed coefficient planes in two packed
+    buffers (pairhmm_forward_pallas_packed_f32).  Same kernel + same
+    tables, but the coefficient arithmetic runs in C vs XLA (which
+    strength-reduces x/3 to a reciprocal multiply), so agreement is
+    1-2 ulp rather than bitwise — far inside the 5e-3 contract."""
+    tcs = gen_pairhmm_pairs(rng, 50, max_read_len=30, max_hap_len=60)
+    outs = {}
+    for mode in ("quals", "f32"):
+        cfg = PairHMMConfig(read_buckets=(32,), hap_buckets=(64,), upload=mode)
+        eng = PairHMMEngine(cfg, use_pallas=True)
+        eng._interpret = True
+        outs[mode] = eng.compute_pairs_flat(*_flatten(tcs))
+    np.testing.assert_allclose(outs["quals"], outs["f32"], rtol=1e-6)
