@@ -29,8 +29,6 @@ class PairHMMConfig:
     read_buckets: Tuple[int, ...] = (32, 64, 96, 128, 192, 256)
     # Padded hap-length buckets (columns).
     hap_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
-    # Lane batch per kernel invocation (pairs processed per grid step).
-    batch_tile: int = 128
     # Max pairs per packed device batch (reference: MAX_RSDATA_NUM x
     # MAX_HAPDATA_NUM tiling, 2048 x 128).
     max_batch_pairs: int = 16384
@@ -77,6 +75,18 @@ class SmemConfig:
     split_len: int = 28
     split_width: int = 10
     max_mem_intv: int = 20
+    # device-machine cap on the curr/back break-interval chain buffers
+    # (rows of the while-carry, the dominant HBM cost); chains that
+    # outgrow it flag the lane for host rerun.  48 measured best; 32 was
+    # 2.4x slower (PERF_NOTES).
+    curr_cap: int = 48
+    # machine output-buffer rows carried through the while loop (see
+    # SmemParams.mem_cap; typical interval counts are ~6 at 101 bp)
+    mem_cap: int = 64
+    # use the unique-interval (s==1) text-comparison fast path when the
+    # index provides SA/ISA/text device residency (costs ~2.4 GB HBM per
+    # 100 Mbp of genome; exact results either way)
+    unique_fast: bool = True
 
     def params(self):
         from acc_genomics_tpu.ops.smem.reference import SmemParams
@@ -87,6 +97,8 @@ class SmemConfig:
             split_width=self.split_width,
             max_mem_intv=self.max_mem_intv,
             max_intv_alloc=self.max_intv_alloc,
+            curr_cap=self.curr_cap,
+            mem_cap=self.mem_cap,
         )
 
 
@@ -99,7 +111,10 @@ class SWConfig:
     w_open: int = -260
     w_extend: int = -11
     max_seq_len: int = 1536
-    max_batch: int = 260
+    # max pairs per device launch; bigger batches segment into chunks of
+    # this size (the reference's 260-alt batch cap, htc-sw/host/common.h:14,
+    # resized for the TPU where e2e throughput scales with batch to ~4K)
+    max_batch: int = 4096
     # padded (row, col) buckets for the fill kernel
     seq_buckets: Tuple[int, ...] = (64, 128, 192, 256, 320, 384, 512, 768, 1024, 1536)
 

@@ -77,41 +77,57 @@ class SmemEngine:
                 continue
             b = next(b for b in buckets if len(r) <= b)
             groups.setdefault(b, []).append(k)
+        # host reruns run on a single worker thread CONCURRENTLY with the
+        # device loop (the hybrid CPU||device split of the reference
+        # worker, PairHMMWorker.cpp:201-270): oversized reads are known
+        # before launch and dispatch immediately; overflow/bust lanes
+        # dispatch as each device batch reports them, overlapping the
+        # remaining batches.  The ctypes call releases the GIL.
+        def host_work(idx_chunk):
+            from acc_genomics_tpu import native
+
+            host_reads = [reads[k] for k in idx_chunk]
+            hres = native.smem_collect_host(self.fm, host_reads, self.params)
+            for j, k in enumerate(idx_chunk):
+                r = hres[j] if hres is not None else None
+                if r is None:  # no native lib (or pathological read)
+                    r = mem_collect_intv_oracle(self.fm, reads[k], self.params)
+                out[k] = r
+
+        import concurrent.futures
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        futures = []
+        if host_idx:
+            with Timer("smem.host_dispatch"):
+                futures.append(pool.submit(host_work, list(host_idx)))
         # segment big groups into batch_size device calls (the reference's
         # BATCH_SIZE streaming loop, smem/main.cpp getBatch)
         seg = max(int(self.config.batch_size), 1)
-        for b, idxs in groups.items():
-            for lo in range(0, len(idxs), seg):
-                dev_idx = idxs[lo : lo + seg]
-                with Timer("smem.device"):
-                    res, overflow = smem_batch_machine(
-                        self.idx, [reads[k] for k in dev_idx], seq_len=b,
-                        mesh=self.mesh, params=self.params,
-                    )
-                self.stats["probe_iters"] += getattr(
-                    smem_batch_machine, "last_iters", 0
-                )
-                for j, k in enumerate(dev_idx):
-                    if overflow[j]:
-                        host_idx.append(k)
-                        self.stats["overflow_reruns"] += 1
-                    else:
-                        out[k] = res[j]
-        if host_idx:
-            with Timer("smem.host"):
-                from acc_genomics_tpu import native
-
-                host_reads = [reads[k] for k in host_idx]
-                hres = native.smem_collect_host(
-                    self.fm, host_reads, self.params
-                )
-                for j, k in enumerate(host_idx):
-                    r = hres[j] if hres is not None else None
-                    if r is None:  # no native lib (or pathological read)
-                        r = mem_collect_intv_oracle(
-                            self.fm, reads[k], self.params
+        try:
+            for b, idxs in groups.items():
+                for lo in range(0, len(idxs), seg):
+                    dev_idx = idxs[lo : lo + seg]
+                    with Timer("smem.device"):
+                        res, overflow, iters = smem_batch_machine(
+                            self.idx, [reads[k] for k in dev_idx], seq_len=b,
+                            mesh=self.mesh, params=self.params,
                         )
-                    out[k] = r
+                    self.stats["probe_iters"] += iters
+                    rerun = []
+                    for j, k in enumerate(dev_idx):
+                        if overflow[j]:
+                            rerun.append(k)
+                            self.stats["overflow_reruns"] += 1
+                        else:
+                            out[k] = res[j]
+                    if rerun:
+                        futures.append(pool.submit(host_work, rerun))
+            with Timer("smem.host_join"):
+                for f in futures:
+                    f.result()  # re-raise host errors
+        finally:
+            pool.shutdown(wait=True)
         return out
 
     def collect_arrays(self, seq_tm: np.ndarray, lens: np.ndarray):

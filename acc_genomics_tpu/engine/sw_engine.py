@@ -98,6 +98,16 @@ class SWEngine:
             host_thread = threading.Thread(target=host_work_guarded)
             host_thread.start()
 
+        # segment each bucket group into device launches of at most
+        # max_batch pairs (the reference's 260-alt batch cap resized
+        # for TPU; htc-sw/host/common.h:14)
+        seg = max(int(self.config.max_batch), 1)
+        chunks = [
+            (key, idxs[lo : lo + seg])
+            for key, idxs in groups.items()
+            for lo in range(0, len(idxs), seg)
+        ]
+
         if self.use_pallas:
             # Pallas path: launch EVERY group's fill + device walk, then
             # fetch all packed element buffers as one concatenated D2H
@@ -108,7 +118,7 @@ class SWEngine:
             )
 
             pend = []
-            for (rows, cols), idxs in list(groups.items()):
+            for (rows, cols), idxs in chunks:
                 grefs = [refs[k] for k in idxs]
                 galts = [alts[k] for k in idxs]
                 packed, perm = sw_align_batch_launch(
@@ -116,7 +126,7 @@ class SWEngine:
                     params=self.params,
                 )
                 pend.append((idxs, grefs, galts, packed, perm))
-                del groups[(rows, cols)]
+            chunks = []
             if pend:
                 allpacked = np.asarray(
                     jnp.concatenate([p[3] for p in pend], axis=1)
@@ -132,7 +142,7 @@ class SWEngine:
                     for j, k in enumerate(idxs):
                         self.stats["cells"] += len(refs[k]) * len(alts[k])
                         out[k] = walked[j]
-        for (rows, cols), idxs in groups.items():
+        for (rows, cols), idxs in chunks:
             # pad the batch to the next power of two (>= 8) so jit caches a
             # small number of shapes instead of one per batch size
             bsz = 8

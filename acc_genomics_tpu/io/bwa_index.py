@@ -2,11 +2,19 @@
 
 The reference's SMEM driver leans on libbwa's ``bwa_idx_load``
 (smem/main.cpp:434, smem/Makefile:37-38 links -lbwa) to obtain the
-BWT/suffix array built by ``bwa index``.  This module makes that
-interop first-class without the C dependency: it reads and writes the
-BWA 0.7.x byte formats, so an existing ``bwa index`` directory loads
-straight into :class:`~acc_genomics_tpu.ops.smem.index.FMIndex`, and an
+BWT/suffix array built by ``bwa index``.  This module provides that
+interop without the C dependency: it reads and writes the BWA 0.7.x
+byte formats, DESIGNED so an existing ``bwa index`` directory loads
+straight into :class:`~acc_genomics_tpu.ops.smem.index.FMIndex` and an
 index built here can be consumed by stock BWA.
+
+Validation status: the byte layouts are implemented from bwa 0.7.x
+sources (bwt.c/bntseq.c, cited per format below) and validated by
+writer<->reader round-trips plus the lrand48 LCG bit-parity test
+(tests/test_bwa_index.py).  No file produced by an actual ``bwa
+index`` binary has been loaded in this environment (bwa is not
+installed and there is no network); treat cross-tool byte identity as
+designed-for until a genuine bwa-built fixture is vendored.
 
 Format notes (all little-endian, validated by round-trip tests):
 
@@ -27,8 +35,9 @@ Format notes (all little-endian, validated by round-trip tests):
   holes (bntseq.c ``bns_dump``).
 
 Ambiguous FASTA bases are replaced by ``lrand48() & 3`` with
-``srand48(11)`` — the exact bit-compatible LCG BWA uses — so the .pac
-produced here is byte-identical to ``bwa index`` output for the same
+``srand48(11)`` — the bit-compatible LCG BWA uses (verified against
+the POSIX lrand48 definition in tests) — so the .pac produced here is
+designed to be byte-identical to ``bwa index`` output for the same
 FASTA.
 """
 

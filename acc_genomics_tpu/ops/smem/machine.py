@@ -164,6 +164,10 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # whose chains outgrow the cap are flagged and rerun on the host —
     # the same graceful-degradation contract as interval overflow.
     LB = min(L + 1, max(params.curr_cap, 8))
+    # output-buffer rows in the carry: real reads push ~6 intervals, so
+    # carrying max_intv_alloc rows multiplies every masked mem write by
+    # 4-8x for nothing; lanes that push past the cap -> host rerun
+    MM = min(max(params.mem_cap, 8), MAX_OUT)
     seq_tm = seq_tm.astype(I32)  # hosts upload uint8 (uint8 compute A/B'd neutral)
     if max_iters is None:
         # total probes+transitions per read is bounded by a small multiple
@@ -175,7 +179,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # mesh axes under shard_map (carry in/out types must match exactly)
     zb = ln * 0
     zeros_lb = jnp.zeros((LB, B), I32) + zb[None, :]
-    zeros_mm = jnp.zeros((MAX_OUT, B), I32) + zb[None, :]
+    zeros_mm = jnp.zeros((MM, B), I32) + zb[None, :]
     # read positions fit int16 (<= L <= 32767): halving those planes cuts
     # the while-carry HBM traffic, the dominant per-iteration cost
     zeros_lb16 = zeros_lb.astype(jnp.int16)
@@ -293,16 +297,18 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
                 n["bust"] = n["bust"] | (mask & (s["curr_n"] >= LB))
                 upd("ret", mask, v3)  # ret = end of last pushed break intv
 
-            # helper: push temp into mem (count past cap -> overflow flag)
+            # helper: push temp into mem (count past the carried-buffer
+            # cap -> bust -> host rerun)
             def push_mem(mask, v0, v1, v2, v3, v4, nkey="mem_n"):
                 cnt = n[nkey]
-                slot = jnp.minimum(cnt, MAX_OUT - 1)
-                w = mask & (cnt < MAX_OUT)
+                slot = jnp.minimum(cnt, MM - 1)
+                w = mask & (cnt < MM)
                 n["mm0"] = _write_row(n["mm0"], slot, v0, w)
                 n["mm1"] = _write_row(n["mm1"], slot, v1, w)
                 n["mm2"] = _write_row(n["mm2"], slot, v2, w)
                 n["mm3"] = _write_row(n["mm3"], slot, v3, w)
                 n["mm4"] = _write_row(n["mm4"], slot, v4, w)
+                n["bust"] = n["bust"] | (mask & (cnt >= MM))
                 n[nkey] = jnp.where(mask, cnt + 1, cnt)
 
             ix0 = jnp.take(l2, jnp.clip(rd, 0, 3)) + 1
@@ -565,8 +571,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         # mem push (pass 3 pushes the fresh extension, not the temp regs)
         push = hit & (ocsf > 0)
         cnt = n["mem_n"]
-        slot = jnp.minimum(cnt, MAX_OUT - 1)
-        w = push & (cnt < MAX_OUT)
+        slot = jnp.minimum(cnt, MM - 1)
+        w = push & (cnt < MM)
+        n["bust"] = n["bust"] | (push & (cnt >= MM))
         n["mm0"] = _write_row(n["mm0"], slot, oc0f, w)
         n["mm1"] = _write_row(n["mm1"], slot, oc1f, w)
         n["mm2"] = _write_row(n["mm2"], slot, ocsf, w)
@@ -598,7 +605,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     init3 = dict(
         st=jnp.where((ln > 0) & ~unf2, jnp.int32(S_P3_NEXTX), jnp.int32(S_DONE)),
         x=zb, i=zb, ik0=zb, ik1=zb, iks=zb,
-        mem_n=f2["mem_n"],
+        mem_n=f2["mem_n"], bust=f2["bust"],
         mm0=f2["mm0"], mm1=f2["mm1"], mm2=f2["mm2"],
         mm3=f2["mm3"], mm4=f2["mm4"],
         iters=f2["iters"],
@@ -606,10 +613,10 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     f3 = jax.lax.while_loop(cond, unrolled(body3, UNROLL_P3), init3)
 
     # lanes still running when the safety cap fires, or whose curr/back
-    # chains outgrew the capped buffers, are reported as "unfinished" by
-    # forcing their count past the overflow cap — the engine reruns them
-    # on the host (graceful-degradation contract)
-    unfinished = (f3["st"] != S_DONE) | f2["bust"] | unf2
+    # chains or output pushes outgrew the capped buffers, are reported as
+    # "unfinished" by forcing their count past the overflow cap — the
+    # engine reruns them on the host (graceful-degradation contract)
+    unfinished = (f3["st"] != S_DONE) | f3["bust"] | unf2
     mem_n = jnp.where(unfinished, jnp.int32(MAX_OUT + 1), f3["mem_n"])
     return (
         (f3["mm0"], f3["mm1"], f3["mm2"], f3["mm3"], f3["mm4"]),
@@ -627,9 +634,10 @@ def smem_batch_machine(
     fm_or_idx, reads: List[np.ndarray], seq_len: int = 256, mesh=None,
     params: SmemParams = DEFAULT_SMEM_PARAMS,
 ):
-    """Host wrapper: list of nt4 reads -> per-read interval dicts + overflow
-    flags (n > max_intv_alloc -> host rerun, smem/main.cpp:158-164).  With a
-    mesh, lanes shard over its "data" axis (index replicated per device)."""
+    """Host wrapper: list of nt4 reads -> (per-read interval dicts,
+    overflow flags, machine iteration count).  Overflow (n >
+    max_intv_alloc) -> host rerun, smem/main.cpp:158-164.  With a mesh,
+    lanes shard over its "data" axis (index replicated per device)."""
     MAX_OUT = params.max_intv_alloc
     idx = (
         device_index_fused(fm_or_idx)
@@ -663,13 +671,13 @@ def smem_batch_machine(
     # the five interval fields stacked into ONE array (per-leaf fetches
     # each pay a ~25 ms round trip on the dev tunnel)
     mem_n, iters = jax.device_get((mem_n, jnp.asarray(iters)))
-    smem_batch_machine.last_iters = int(iters)
     used = int(min(MAX_OUT, mem_n.max(initial=0)))
     mem = np.asarray(jnp.stack([m[:used].astype(jnp.int32) for m in mem]))
     out = []
     overflow = (mem_n > MAX_OUT)[:n_in]
+    rows = mem.shape[1]  # may be < used: bust lanes force mem_n past cap
     for k in range(n_in):
-        nn = int(min(mem_n[k], MAX_OUT))
+        nn = int(min(mem_n[k], rows))
         out.append(
             [
                 dict(
@@ -679,4 +687,4 @@ def smem_batch_machine(
                 for j in range(nn)
             ]
         )
-    return out, overflow
+    return out, overflow, int(iters)

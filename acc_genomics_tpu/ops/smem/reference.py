@@ -42,6 +42,14 @@ class SmemParams(NamedTuple):
     # the while-carry buffers, the dominant HBM cost); chains that
     # outgrow it flag the lane for host rerun.  Ignored by the oracle.
     curr_cap: int = 48
+    # device-machine cap on the OUTPUT interval buffer rows carried
+    # through the while loop.  Real reads produce ~6 intervals at 101 bp
+    # (p99 == 6 measured at 100 Mbp, benchmarks/smem_probe_stats.py), so
+    # carrying max_intv_alloc=256 rows paid 8x the masked-write cost for
+    # nothing.  Lanes that push past the cap flag for host rerun — the
+    # same graceful-degradation contract as interval overflow.  Ignored
+    # by the oracle.
+    mem_cap: int = 64
 
 
 DEFAULT_SMEM_PARAMS = SmemParams()

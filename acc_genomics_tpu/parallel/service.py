@@ -100,6 +100,11 @@ class EngineServer:
 
             engine = GenomicsEngine()
         self.engine = engine
+        # one engine, many client threads: requests serialize through this
+        # lock — the Blaze daemon executes tasks one at a time per
+        # accelerator too (pairhmm/task/xlnx/PairHMMTask.cpp), and the
+        # engine's jit caches / stats / index state are not thread-safe
+        self._engine_lock = threading.Lock()
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -114,7 +119,8 @@ class EngineServer:
                         outer._server.shutdown()
                         return
                     try:
-                        resp = outer._dispatch(op, req)
+                        with outer._engine_lock:
+                            resp = outer._dispatch(op, req)
                         _send(self.request, op, resp)
                     except Exception as e:  # report, keep serving
                         _send(

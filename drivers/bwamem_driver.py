@@ -25,6 +25,36 @@ from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
 
 
+def oracle_hits(fm, read, max_occ, flank, smem_params, ext_params):
+    """Compose the full oracle chain for one read: SMEM intervals ->
+    SA occurrence positions -> extend_seed_oracle, with the SAME seed
+    enumeration policy as the pipelines (interval order, occurrence j
+    ascending, occ capped at max_occ).  Returns the per-seed result
+    tuples (qbeg, qend, rbeg, rend, score, trueScore, width, occ)."""
+    text_len = fm.seq_len
+    out = []
+    for iv in mem_collect_intv_oracle(fm, read, smem_params):
+        slen = iv["end"] - iv["start"]
+        for pos in fm.sa[iv["x0"] : iv["x0"] + min(iv["s"], max_occ)]:
+            pos = int(pos)
+            span_lo = max(0, pos - iv["start"] - flank)
+            span_hi = min(
+                text_len, pos + slen + (len(read) - iv["end"]) + flank
+            )
+            rseq = fm.text[span_lo:span_hi]
+            res = extend_seed_oracle(
+                read, rseq, iv["start"], pos - span_lo, slen, ext_params
+            )
+            out.append(
+                (
+                    res["qBeg"], iv["end"] + res["qEnd"],
+                    pos + res["rBeg"], pos + slen + res["rEnd"],
+                    res["score"], res["trueScore"], res["width"], iv["s"],
+                )
+            )
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome", type=int, default=2_000_000)
@@ -72,12 +102,30 @@ def main():
         total += len(reads)
         rates.append(len(reads) / dt)
         total_hits += sum(len(h) for h in hits)
-        # oracle spot check: SMEM intervals + one extension per checked read
+        # oracle value check: full SMEM -> SA -> extension chain for the
+        # first --check reads, comparing every SeedHit field exactly
+        # (the reference's re-ordered exact record compare,
+        # bwa-sw/sdaccel/main_cl.cpp:191-247)
+        checked = 0
         for k in range(min(args.check, len(reads))):
-            ivs = mem_collect_intv_oracle(fm, reads[k])
-            if not ivs and hits[k]:
+            want = oracle_hits(
+                fm, reads[k], bm.max_occ, bm.flank,
+                eng.smem.params, eng.extend.config.params(),
+            )
+            got = [
+                (h.qbeg, h.qend, h.rbeg, h.rend, h.score, h.true_score,
+                 h.width, h.occ)
+                for h in hits[k]
+            ]
+            checked += len(want)
+            if got != want:
                 failures += 1
-        print(f"batch {b}: {len(reads)/dt:.0f} reads/s, {sum(len(h) for h in hits)} hits")
+                print(f"  MISMATCH read {k}: got {got[:3]}... want {want[:3]}...")
+        print(
+            f"batch {b}: {len(reads)/dt:.0f} reads/s, "
+            f"{sum(len(h) for h in hits)} hits, "
+            f"{checked} oracle-checked seed records"
+        )
     # median: early batches may still be compiling fresh extend shapes
     steady = float(np.median(rates))
     print(

@@ -128,7 +128,7 @@ def test_smem_params_change_results():
             (iv["x0"], iv["x1"], iv["s"], iv["start"], iv["end"]) for iv in ivs
         )
 
-    dev, overflow = smem_batch_machine(fm, [read], seq_len=64, params=custom)
+    dev, overflow, _ = smem_batch_machine(fm, [read], seq_len=64, params=custom)
     assert not overflow[0]
     assert canon(dev[0]) == canon(got)
 

@@ -183,3 +183,52 @@ def test_daemon_cli_conf(rng, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_concurrent_clients(rng):
+    """Two clients issue interleaved requests against ONE daemon: the
+    engine lock serializes access to the shared engine (jit caches,
+    stats, device state), so every response must still be exact."""
+    import threading
+
+    genome = gen_reference_with_repeats(rng, 1500)
+    fm = FMIndex.build(genome)
+    server = EngineServer().start()
+    host, port = server.address
+    # warm the engine's jit caches through one client first so the
+    # concurrent phase exercises the steady-state path too
+    warm = EngineClient(host, port)
+    warm.load_reference(genome)
+    read_sets = [gen_smem_reads(rng, genome, 3, read_len=64) for _ in range(2)]
+    warm.smem(read_sets[0][:1])
+    warm.close()
+
+    canon = lambda z: sorted(
+        (i["x0"], i["x1"], i["s"], i["start"], i["end"]) for i in z
+    )
+    errs = []
+
+    def client_work(reads):
+        try:
+            c = EngineClient(host, port)
+            assert c.connected
+            for _ in range(3):
+                ivs = c.smem(reads)
+                for r, got in zip(reads, ivs):
+                    assert canon(got) == canon(mem_collect_intv_oracle(fm, r))
+            c.close()
+        except BaseException as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=client_work, args=(rs,)) for rs in read_sets
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    stop = EngineClient(host, port)
+    stop.shutdown_server()
+    server.stop()

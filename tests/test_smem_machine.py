@@ -24,7 +24,7 @@ def test_machine_exact_parity(rng):
     reads.append(r)                      # interior Ns
     reads.append(reads[1][:3].copy())    # shorter than min seed len
     reads.append(np.full(20, 4, np.uint8))  # all N
-    got, ovf = smem_batch_machine(fm, reads, seq_len=96)
+    got, ovf, _ = smem_batch_machine(fm, reads, seq_len=96)
     assert not ovf.any()
     for g, r in zip(got, reads):
         assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
@@ -37,7 +37,7 @@ def test_machine_mixed_lengths_batch(rng):
         gen_smem_reads(rng, genome, 1, read_len=n)[0]
         for n in (21, 40, 64, 80, 95)
     ]
-    got, ovf = smem_batch_machine(fm, reads, seq_len=96)
+    got, ovf, _ = smem_batch_machine(fm, reads, seq_len=96)
     for g, r in zip(got, reads):
         assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
 
@@ -49,7 +49,7 @@ def test_machine_overflow_flagged(rng):
     genome = np.tile(motif, 300)
     fm = FMIndex.build(genome)
     read = np.tile(motif, 8)[:90].copy()
-    got, ovf = smem_batch_machine(fm, [read], seq_len=96)
+    got, ovf, _ = smem_batch_machine(fm, [read], seq_len=96)
     want = mem_collect_intv_oracle(fm, read)
     if len(want) > MAX_OUT:
         assert ovf[0]
@@ -93,7 +93,7 @@ def test_machine_fuzz_seeds(rng):
         genome = gen_reference_with_repeats(r2, glen, repeat_len=rep_len, n_repeats=n_rep)
         fm = FMIndex.build(genome)
         reads = gen_smem_reads(r2, genome, 6, read_len=75)
-        got, ovf = smem_batch_machine(fm, reads, seq_len=80)
+        got, ovf, _ = smem_batch_machine(fm, reads, seq_len=80)
         for g, r, o in zip(got, reads, ovf):
             want = mem_collect_intv_oracle(fm, r)
             if o:
@@ -115,7 +115,7 @@ def test_machine_curr_cap_bust_flags_host_rerun(rng):
     reads = gen_smem_reads(rng, genome, 4, read_len=60, error_rate=0.05)
     # a tiny cap forces busts on normal reads
     tight = SmemParams(curr_cap=2)
-    got, ovf = smem_batch_machine(fm, reads, seq_len=64, params=tight)
+    got, ovf, _ = smem_batch_machine(fm, reads, seq_len=64, params=tight)
     assert ovf.any()
     # engine with the same tight cap reruns busted lanes on the host
     cfg = SmemConfig()
@@ -142,7 +142,7 @@ def test_repeat_heavy_genome_default_caps(rng):
     genome[mut] = (genome[mut] + rng.integers(1, 4, mut.sum())) % 4
     fm = FMIndex.build(genome)
     reads = gen_smem_reads(rng, genome, 6, read_len=101, error_rate=0.01)
-    got, ovf = smem_batch_machine(fm, reads, seq_len=128)
+    got, ovf, _ = smem_batch_machine(fm, reads, seq_len=128)
     checked_exact = 0
     for r, g, o in zip(reads, got, ovf):
         want = mem_collect_intv_oracle(fm, r)
