@@ -64,8 +64,10 @@ class SmemConfig:
     max_intv_alloc: int = 256  # per-read output interval cap
     # max lanes per device call; bigger batches segment into chunks of
     # this size (the reference's BATCH_SIZE streaming loop).  Throughput
-    # scales with lanes until ~16K (measured: 2K -> 16K batch = ~2x)
-    batch_size: int = 16384
+    # scales with lanes until ~64K: at 100 Mbp / 101 bp, 16K lanes =
+    # 22.9K reads/s, 64K lanes = 55.4K, flat beyond (the batched probe
+    # gather amortizes; measured round 3 on v5e)
+    batch_size: int = 65536
     seq_length: int = 256  # per-read sequence slot (largest bucket)
     # per-read length buckets: the machine's curr/back interval buffers
     # are (bucket+1, B), so short reads in a tight bucket halve the

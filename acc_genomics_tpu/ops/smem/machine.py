@@ -98,6 +98,27 @@ def _occ4_batch(tbl, primary, k):
     return jnp.where(valid[:, None], out, 0)
 
 
+# When True, the two occ probes per machine iteration (interval head and
+# tail) are issued as ONE (2B,)-index row gather instead of two (B,)
+# gathers — the gather unit's cost is per-invocation more than per-row
+# (A/B'd at 100 Mbp, benchmarks/smem_fused_probe_ab.py).  Module-level so
+# the A/B harness can trace both variants; the bits are identical.
+FUSED_PROBE = True
+
+# Diagnostic: when True, the machine carries a (12,) per-state lane-count
+# histogram (summed over iterations) returned as a 4th output.  Costs one
+# extra one-hot sum per step — off in production; the A/B harnesses flip
+# it to attribute iteration counts to states (probe vs bookkeeping).
+STATE_HIST = False
+
+
+def _occ4_pair(tbl, primary, ka, kb):
+    """occ4 at two positions per lane via one fused row gather."""
+    out = _occ4_batch(tbl, primary, jnp.concatenate([ka, kb]))
+    B = ka.shape[0]
+    return out[:B], out[B:]
+
+
 def _extend_batch(idx, x0, x1, s, is_back):
     """Bidirectional extension for all 4 bases, per-lane direction.
 
@@ -106,8 +127,11 @@ def _extend_batch(idx, x0, x1, s, is_back):
     tbl, primary, l2 = idx["tbl"], idx["primary"], idx["l2"]
     xf = jnp.where(is_back, x0, x1)
     xo = jnp.where(is_back, x1, x0)
-    tk = _occ4_batch(tbl, primary, xf - 1)
-    tl = _occ4_batch(tbl, primary, xf - 1 + s)
+    if FUSED_PROBE:
+        tk, tl = _occ4_pair(tbl, primary, xf - 1, xf - 1 + s)
+    else:
+        tk = _occ4_batch(tbl, primary, xf - 1)
+        tl = _occ4_batch(tbl, primary, xf - 1 + s)
     oks = tl - tk
     cnt_coord = l2[None, :4] + 1 + tk
     span = ((xf <= primary) & (xf + s - 1 >= primary)).astype(I32)
@@ -201,6 +225,17 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm16, mm4=zeros_mm16,
         iters=jnp.max(zb),  # varying scalar under shard_map
     )
+    if STATE_HIST:
+        init["hist"] = jnp.zeros((12,), I32)
+        init["live_t"] = zb  # per-lane live (non-DONE) step count
+
+    def _hist_add(n, st):
+        if STATE_HIST:
+            n["hist"] = n["hist"] + jnp.sum(
+                st[None, :] == jnp.arange(12, dtype=I32)[:, None],
+                axis=1, dtype=I32,
+            )
+            n["live_t"] = n["live_t"] + (st != S_DONE).astype(I32)
 
     l2 = idx["l2"]
 
@@ -281,6 +316,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
 
             n = dict(s)
             n["iters"] = s["iters"] + 1
+            _hist_add(n, st)
 
             def upd(key, mask, val):
                 n[key] = jnp.where(mask, val, n[key])
@@ -532,6 +568,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
 
         n = dict(s)
         n["iters"] = s["iters"] + 1
+        _hist_add(n, st)
 
         def upd(key, mask, val):
             n[key] = jnp.where(mask, val, n[key])
@@ -610,6 +647,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         mm3=f2["mm3"], mm4=f2["mm4"],
         iters=f2["iters"],
     )
+    if STATE_HIST:
+        init3["hist"] = f2["hist"]
+        init3["live_t"] = f2["live_t"]
     f3 = jax.lax.while_loop(cond, unrolled(body3, UNROLL_P3), init3)
 
     # lanes still running when the safety cap fires, or whose curr/back
@@ -618,11 +658,14 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # engine reruns them on the host (graceful-degradation contract)
     unfinished = (f3["st"] != S_DONE) | f3["bust"] | unf2
     mem_n = jnp.where(unfinished, jnp.int32(MAX_OUT + 1), f3["mem_n"])
-    return (
+    out = (
         (f3["mm0"], f3["mm1"], f3["mm2"], f3["mm3"], f3["mm4"]),
         mem_n,
         f3["iters"],
     )
+    if STATE_HIST:
+        out = out + (f3["hist"], f3["live_t"])
+    return out
 
 
 _collect_jit = jax.jit(
