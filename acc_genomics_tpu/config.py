@@ -79,12 +79,14 @@ class SmemConfig:
     max_mem_intv: int = 20
     # device-machine cap on the curr/back break-interval chain buffers
     # (rows of the while-carry, the dominant HBM cost); chains that
-    # outgrow it flag the lane for host rerun.  48 measured best; 32 was
-    # 2.4x slower (PERF_NOTES).
-    curr_cap: int = 48
+    # outgrow it flag the lane for host rerun.  Sweep at B=64K/100 Mbp/
+    # 101 bp: 24 -> 66.8K reads/s bust=0, 16 -> busts 3% and slower;
+    # raise for long-read workloads (threaded through params()).
+    curr_cap: int = 24
     # machine output-buffer rows carried through the while loop (see
-    # SmemParams.mem_cap; typical interval counts are ~6 at 101 bp)
-    mem_cap: int = 64
+    # SmemParams.mem_cap; typical interval counts are ~6 at 101 bp,
+    # p99 == 6 measured at 100 Mbp)
+    mem_cap: int = 24
     # use the unique-interval (s==1) text-comparison fast path when the
     # index provides SA/ISA/text device residency (costs ~2.4 GB HBM per
     # 100 Mbp of genome; exact results either way)

@@ -41,7 +41,7 @@ class SmemParams(NamedTuple):
     # device-machine cap on the curr/back break-interval chains (rows of
     # the while-carry buffers, the dominant HBM cost); chains that
     # outgrow it flag the lane for host rerun.  Ignored by the oracle.
-    curr_cap: int = 48
+    curr_cap: int = 24
     # device-machine cap on the OUTPUT interval buffer rows carried
     # through the while loop.  Real reads produce ~6 intervals at 101 bp
     # (p99 == 6 measured at 100 Mbp, benchmarks/smem_probe_stats.py), so
@@ -49,7 +49,7 @@ class SmemParams(NamedTuple):
     # nothing.  Lanes that push past the cap flag for host rerun — the
     # same graceful-degradation contract as interval overflow.  Ignored
     # by the oracle.
-    mem_cap: int = 64
+    mem_cap: int = 24
 
 
 DEFAULT_SMEM_PARAMS = SmemParams()

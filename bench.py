@@ -126,7 +126,7 @@ def bench_smem(on_tpu):
     from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
 
     rng = np.random.default_rng(0)
-    n_reads = 16384 if on_tpu else 128  # reads/s scales with lanes to ~16K
+    n_reads = 65536 if on_tpu else 128  # reads/s scales with lanes to ~64K
     K = 3 if on_tpu else 1
     genome = gen_reference_with_repeats(rng, 100_000 if on_tpu else 20_000)
     eng = GenomicsEngine()
@@ -141,6 +141,43 @@ def bench_smem(on_tpu):
     iters = (eng.smem.stats["probe_iters"] - iters0) / K
     traffic_gb_s = iters * 2 * 32 * n_reads / dt / 1e9
     return n_reads / dt, traffic_gb_s
+
+
+def bench_smem_100m():
+    """SMEM engine at genome scale (100 Mbp cached index, 101 bp reads):
+    reads/s through SmemEngine.collect_arrays (upload + machine + D2H)
+    plus issued probe-traffic GB/s (2 x 32 B per lane per machine step —
+    the DRAM-bandwidth accounting of smem/README.md:23; methodology in
+    PERF_NOTES.md).  Requires data/chr100m.fm.npz (drivers/smem_driver.py
+    --fasta builds it); returns None when absent."""
+    import os
+
+    if not os.path.exists("data/chr100m.fm.npz"):
+        return None
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+    from acc_genomics_tpu.io.synth import gen_smem_reads
+    from acc_genomics_tpu.ops.smem.index import FMIndex
+
+    fm = FMIndex.load("data/chr100m.fm.npz")
+    rng = np.random.default_rng(0)
+    genome = fm.text[: fm.seq_len // 2]
+    eng = SmemEngine(fm)
+    B = eng.config.batch_size
+    reads = gen_smem_reads(rng, genome, B, read_len=101)
+    seq_tm = np.full((128, B), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    for k, r in enumerate(reads):
+        seq_tm[: len(r), k] = r
+        lens[k] = len(r)
+    eng.collect_arrays(seq_tm, lens)  # warm/compile
+    iters0 = eng.stats["probe_iters"]
+    K = 3
+    t0 = time.perf_counter()
+    for _ in range(K):
+        eng.collect_arrays(seq_tm, lens)
+    dt = (time.perf_counter() - t0) / K
+    iters = (eng.stats["probe_iters"] - iters0) / K
+    return B / dt, iters * 2 * 32 * B / dt / 1e9
 
 
 def bench_extend(on_tpu):
@@ -205,6 +242,14 @@ def main():
         extras["smem_probe_gb_s"] = round(float(gbs), 3)
     except Exception as e:
         extras["smem_error"] = str(e)[:200]
+    if on_tpu:
+        try:
+            r = bench_smem_100m()
+            if r is not None:
+                extras["smem_reads_per_s_100m"] = round(float(r[0]), 1)
+                extras["smem_probe_gb_s_100m"] = round(float(r[1]), 3)
+        except Exception as e:
+            extras["smem_100m_error"] = str(e)[:200]
     try:
         sps = bench_extend(on_tpu)
         extras["extend_kernel_seeds_per_s"] = round(float(sps), 1)
