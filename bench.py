@@ -205,20 +205,24 @@ def bench_extend(on_tpu):
         else sw_extend_batch
     )
 
-    def run_k(k):
+    # one jit around the whole chain + min-of-3: keeps the tunnel's
+    # ~25 ms D2H RTT out of the measured window (it was ~1.25 ms/call of
+    # noise at K=20 — the source of BENCH_r02's phantom extend regression)
+    @jax.jit
+    def chain():
         a, out = args[4], None
-        for _ in range(k):
+        for _ in range(K):
             out = fn(args[0], args[1], args[2], args[3], a, args[5], args[6])
             a = a + out["score"] % 2
-        return out
+        return out["score"]
 
-    r = run_k(1)
-    jax.device_get(r["score"][:1])  # compile + sync
-    t0 = time.perf_counter()
-    r = run_k(K)
-    jax.device_get(r["score"][:1])
-    dt = (time.perf_counter() - t0) / K
-    return B / dt
+    jax.device_get(chain()[:1])  # compile + sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(chain()[:1])
+        best = min(best, (time.perf_counter() - t0) / K)
+    return B / best
 
 
 def main():

@@ -25,21 +25,25 @@ def main(B=2048, Q=128, T=256, K=20):
     br = jnp.asarray(np.full(B // LANES, 160, np.int32))
 
     def bench(fn, tag):
-        def run_k(k):
+        # chain K dependent calls inside ONE jit and fetch once: on the
+        # axon tunnel the ~25 ms D2H RTT otherwise lands inside the
+        # measured window (at K=20 that is ~1.25 ms/call of pure noise —
+        # measured 440-700K seeds/s run-to-run before this fix)
+        @jax.jit
+        def chain():
             a, out = args[4], None
-            for _ in range(k):
+            for _ in range(K):
                 out = fn(args[0], args[1], args[2], args[3], a, args[5], args[6])
                 a = a + out["score"] % 2
-            return out
+            return out["score"]
 
-        r = run_k(1)
-        jax.block_until_ready(r)
-        jax.device_get(r["score"][:1])
-        t0 = time.perf_counter()
-        r = run_k(K)
-        jax.device_get(r["score"][:1])
-        dt = (time.perf_counter() - t0) / K
-        print(f"{tag}: {dt*1e3:.2f} ms  {B/dt/1e3:.0f}K seeds/s")
+        jax.device_get(chain()[:1])  # compile + sync
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(chain()[:1])
+            best = min(best, (time.perf_counter() - t0) / K)
+        print(f"{tag}: {best*1e3:.2f} ms  {B/best/1e3:.0f}K seeds/s")
 
     bench(sw_extend_batch, "extend xla-scan")
     bench(lambda *a: sw_extend_pallas(*a, br), "extend pallas  ")
