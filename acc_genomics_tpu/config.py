@@ -34,6 +34,11 @@ class PairHMMConfig:
     max_batch_pairs: int = 16384
     # Below this fp32 result, recompute the pair in fp64 (MIN_ACCEPTED).
     min_accepted: float = 1e-28
+    # Device-side coefficient expansion for the quals upload mode:
+    # "arith" computes ph2pr/matchToMatch arithmetically (exp2 + the
+    # telescoped Jacobian identity; <=27 ulp vs the tables, 5x faster
+    # device program), "gather" looks them up bit-exactly.
+    quals_expand: str = "arith"
     # Relative error tolerance for testing vs the fp64 oracle.
     rel_tol: float = 5e-3
     # Flat-path upload representation: "quals" ships uint8 byte planes

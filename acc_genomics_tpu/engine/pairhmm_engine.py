@@ -459,6 +459,7 @@ class PairHMMEngine:
         code = rb * (len(cbuckets) + 1) + cb  # group id per pair
         with Timer("pairhmm.device"):
             pending = []
+            stage_q = []  # quals-mode groups: packed on host, uploaded ONCE
             for g in np.unique(code[~over]) if (~over).any() else []:
                 idxs = np.flatnonzero(code == g)
                 gr, gc = divmod(int(g), len(cbuckets) + 1)
@@ -488,12 +489,35 @@ class PairHMMEngine:
                             rs, q, i, d, c, g_offs, g_lens,
                             hap, g_hoffs, g_hlens, rows, cols,
                         )
+                        self.stats["device_calls"] += 1
+                        pending.append((sel, res))
                     else:
                         packed = native.pairhmm_pack_quals_flat(
                             rs, q, i, d, c, g_offs, g_lens,
                             hap, g_hoffs, g_hlens, rows, cols, HAP_PAD,
                         )
-                        res = self._launch_quals(packed, g_lens, g_hlens)
+                        big, meta = self._quals_pack_arrays(
+                            packed, g_lens, g_hlens
+                        )
+                        stage_q.append((sel, big, meta, rows))
+            if stage_q:
+                # ONE uint8 + ONE int32 H2D for the whole batch: on the
+                # dev tunnel every device_put pays a full round trip, so
+                # per-bucket uploads made a 12-bucket batch pay ~24 RTTs
+                # (~0.7 s) for ~11 MB of payload
+                du8 = jnp.asarray(
+                    np.concatenate([b.ravel() for _, b, _, _ in stage_q])
+                )
+                dmi = jnp.asarray(
+                    np.concatenate([m.ravel() for _, _, m, _ in stage_q])
+                )
+                o = mo = 0
+                for sel, b, m, rows in stage_q:
+                    bb = jax.lax.slice(du8, (o,), (o + b.size,)).reshape(b.shape)
+                    mm = jax.lax.slice(dmi, (mo,), (mo + m.size,)).reshape(m.shape)
+                    o += b.size
+                    mo += m.size
+                    res = self._launch_quals_dev(bb, mm, rows)
                     self.stats["device_calls"] += 1
                     pending.append((sel, res))
             # concatenate per-bucket results ON DEVICE now (async); the
@@ -560,20 +584,49 @@ class PairHMMEngine:
             rows=rows, interpret=self._interpret,
         )
 
-    def _launch_quals(self, packed, g_lens, g_hlens):
-        """Enqueue one byte-plane bucket from pre-packed planes.
-
-        The six uint8 planes arrive as views of ONE contiguous buffer
-        (native pack) and upload as a single device_put; lens/haplens/
-        per-block diagonal counts ride in one (3, B) int32 side-band —
-        two H2D transfers total (each transfer pays a full round trip on
-        the dev tunnel)."""
-        from acc_genomics_tpu.ops.pairhmm.kernel import (
-            LANES,
-            pairhmm_forward_pallas_from_quals_packed,
-        )
+    def _quals_pack_arrays(self, packed, g_lens, g_hlens):
+        """Host half of a byte-plane bucket launch: the six uint8 planes
+        as ONE contiguous (5*rows + rows + cols, bp) buffer plus the
+        (3, bp) int32 side-band (lens / haplens / per-128-lane-block
+        diagonal trip counts rounded to the kernel's 4-diagonal unroll)."""
+        from acc_genomics_tpu.ops.pairhmm.kernel import LANES
 
         oq, oi, od, oc, ors, hap_ext = packed
+        rows = ors.shape[0]
+        bp = ors.shape[1]
+        big = oq.base if oq.base is not None else None
+        if big is None or big.shape != (5 * rows + hap_ext.shape[0], bp):
+            big = np.concatenate([oq, oi, od, oc, ors, hap_ext])
+        # ship only the first `cols` hap rows: hlens <= cols, so the last
+        # `rows` rows of the (rows+cols, bp) hap_ext plane are pure pad —
+        # _launch_quals_dev re-appends them on device (22% fewer H2D
+        # bytes; the link is the e2e bound on thin hosts)
+        cols = hap_ext.shape[0] - rows
+        big = big[: 5 * rows + cols]
+        nd = rows + g_hlens.reshape(-1, LANES).max(axis=1)
+        bd = ((nd + 3) // 4 * 4).astype(np.int32)
+        meta = np.zeros((3, bp), np.int32)
+        meta[0] = g_lens
+        meta[1] = g_hlens
+        meta[2, : len(bd)] = bd
+        return big, meta
+
+    def _launch_quals_dev(self, big_dev, meta_dev, rows):
+        """Device half: enqueue the kernel on already-uploaded (or
+        device-sliced) big/meta arrays.  big_dev carries only `cols` hap
+        rows (the trailing `rows` pad rows are appended here on device —
+        see _quals_pack_arrays)."""
+        from acc_genomics_tpu.ops.pairhmm.kernel import (
+            pairhmm_forward_pallas_from_quals_packed,
+        )
+        from acc_genomics_tpu.utils.convert import HAP_PAD
+
+        big_dev = jnp.concatenate(
+            [
+                big_dev,
+                jnp.full((rows, big_dev.shape[1]), HAP_PAD, jnp.uint8),
+            ]
+        )
         if self._tables is None:
             self._tables = (
                 jax.device_put(
@@ -587,24 +640,21 @@ class PairHMMEngine:
                     self.device,
                 ),
             )
-        rows = ors.shape[0]
-        bp = ors.shape[1]
-        big = oq.base if oq.base is not None else None
-        if big is None or big.shape != (5 * rows + hap_ext.shape[0], bp):
-            big = np.concatenate([oq, oi, od, oc, ors, hap_ext])
-        # per-128-lane-block diagonal trip counts from the sorted haplens,
-        # rounded to the kernel's 4-diagonal unroll (block_diag_counts)
-        nd = rows + g_hlens.reshape(-1, LANES).max(axis=1)
-        bd = ((nd + 3) // 4 * 4).astype(np.int32)
-        meta = np.zeros((3, bp), np.int32)
-        meta[0] = g_lens
-        meta[1] = g_hlens
-        meta[2, : len(bd)] = bd
         return pairhmm_forward_pallas_from_quals_packed(
-            jnp.asarray(big), jnp.asarray(meta), *self._tables,
+            big_dev, meta_dev, *self._tables,
             rows=rows,
             initial_constant=float(self.ctx32.initial_constant),
             interpret=self._interpret,
+            expand=getattr(self.config, "quals_expand", "arith"),
+        )
+
+    def _launch_quals(self, packed, g_lens, g_hlens):
+        """Enqueue one byte-plane bucket from pre-packed planes (single
+        -bucket form: pack arrays + two H2D transfers + kernel)."""
+        big, meta = self._quals_pack_arrays(packed, g_lens, g_hlens)
+        rows = packed[4].shape[0]
+        return self._launch_quals_dev(
+            jnp.asarray(big), jnp.asarray(meta), rows
         )
 
     def _epilogue_flat(

@@ -875,6 +875,43 @@ void sw_extend_batch_native(
 // Outputs are time-major (R, B) uint8; hap_ext is (R + C, B).
 // ---------------------------------------------------------------------------
 
+#ifdef __SSE2__
+// Transpose a 16x16 byte tile: 16 input rows strided by istr -> 16
+// output rows strided by ostr (the classic 4-stage unpack network).
+static inline void transpose16x16_u8(const uint8_t* in, size_t istr,
+                                     uint8_t* out, size_t ostr) {
+  __m128i r[16], t[16];
+  for (int i = 0; i < 16; ++i)
+    r[i] = _mm_loadu_si128((const __m128i*)(in + i * istr));
+  for (int i = 0; i < 8; ++i) {
+    t[2 * i] = _mm_unpacklo_epi8(r[2 * i], r[2 * i + 1]);
+    t[2 * i + 1] = _mm_unpackhi_epi8(r[2 * i], r[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    r[4 * i] = _mm_unpacklo_epi16(t[4 * i], t[4 * i + 2]);
+    r[4 * i + 1] = _mm_unpackhi_epi16(t[4 * i], t[4 * i + 2]);
+    r[4 * i + 2] = _mm_unpacklo_epi16(t[4 * i + 1], t[4 * i + 3]);
+    r[4 * i + 3] = _mm_unpackhi_epi16(t[4 * i + 1], t[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i) {
+    t[8 * i] = _mm_unpacklo_epi32(r[8 * i], r[8 * i + 4]);
+    t[8 * i + 1] = _mm_unpackhi_epi32(r[8 * i], r[8 * i + 4]);
+    t[8 * i + 2] = _mm_unpacklo_epi32(r[8 * i + 1], r[8 * i + 5]);
+    t[8 * i + 3] = _mm_unpackhi_epi32(r[8 * i + 1], r[8 * i + 5]);
+    t[8 * i + 4] = _mm_unpacklo_epi32(r[8 * i + 2], r[8 * i + 6]);
+    t[8 * i + 5] = _mm_unpackhi_epi32(r[8 * i + 2], r[8 * i + 6]);
+    t[8 * i + 6] = _mm_unpacklo_epi32(r[8 * i + 3], r[8 * i + 7]);
+    t[8 * i + 7] = _mm_unpackhi_epi32(r[8 * i + 3], r[8 * i + 7]);
+  }
+  for (int i = 0; i < 8; ++i) {
+    r[2 * i] = _mm_unpacklo_epi64(t[i], t[i + 8]);
+    r[2 * i + 1] = _mm_unpackhi_epi64(t[i], t[i + 8]);
+  }
+  for (int i = 0; i < 16; ++i)
+    _mm_storeu_si128((__m128i*)(out + i * ostr), r[i]);
+}
+#endif
+
 void pairhmm_pack_quals(
     const uint8_t* rs, const uint8_t* q, const uint8_t* iq, const uint8_t* dq,
     const uint8_t* cq, const int64_t* offs, const int32_t* lens,
@@ -885,8 +922,12 @@ void pairhmm_pack_quals(
   const int64_t stride = batch;
   const int64_t ndiag = (int64_t)rows + cols;
   // stage pair-major (contiguous memcpy per pair), then transpose in
-  // 64x64 tiles — a direct time-major scatter is a cache-line miss per
-  // byte at batch-sized strides
+  // tiles — a direct time-major scatter is a cache-line miss per byte
+  // at batch-sized strides.  Tiles go through a 16x16 SSE unpack
+  // network where available (13x the scalar strided-store loop this
+  // replaced: byte stores at batch stride were 18.5 ms/plane, SSE
+  // tiles 1.35 ms, memset floor 0.17 — see round-3 PERF_NOTES); the
+  // scalar tail/fallback keeps stores contiguous along lanes (7.6x).
   const int TILE = 64;
   struct Plane { const uint8_t* src; uint8_t* dst; int64_t nrow; uint8_t pad; };
   Plane planes[6] = {
@@ -899,28 +940,39 @@ void pairhmm_pack_quals(
     for (int p = 0; p < 6; ++p) {
       const bool is_hap = p == 5;
       const int64_t nrow = planes[p].nrow;
-      stage.resize((size_t)TILE * nrow);
+      const int64_t srow = (nrow + 15) & ~int64_t(15);  // staged row pitch
+      stage.resize((size_t)TILE * srow);
 #pragma omp for schedule(dynamic, 1) nowait
       for (int32_t b0 = 0; b0 < batch; b0 += TILE) {
         int bw = std::min((int32_t)TILE, batch - b0);
-        std::memset(stage.data(), planes[p].pad, (size_t)bw * nrow);
+        std::memset(stage.data(), planes[p].pad, (size_t)bw * srow);
         for (int bb = 0; bb < bw; ++bb) {
           int32_t bidx = b0 + bb;
           int32_t len = is_hap ? hlens[bidx] : lens[bidx];
           const int64_t o = is_hap ? hoffs[bidx] : offs[bidx];
           if (len > 0)
-            std::memcpy(stage.data() + (size_t)bb * nrow,
+            std::memcpy(stage.data() + (size_t)bb * srow,
                         planes[p].src + o, len);
         }
-        // transpose stage (bw, nrow) -> dst rows [0, nrow) at cols b0..
+        // transpose stage (bw, srow) -> dst rows [0, nrow) at cols b0..
         uint8_t* dst = planes[p].dst;
-        for (int64_t r0 = 0; r0 < nrow; r0 += TILE) {
-          int rw = (int)std::min((int64_t)TILE, nrow - r0);
-          for (int bb = 0; bb < bw; ++bb) {
-            const uint8_t* srow = stage.data() + (size_t)bb * nrow + r0;
-            uint8_t* dcol = dst + r0 * stride + b0 + bb;
-            for (int r = 0; r < rw; ++r) dcol[(int64_t)r * stride] = srow[r];
-          }
+        int64_t r0 = 0;
+#ifdef __SSE2__
+        for (; r0 + 16 <= nrow; r0 += 16) {
+          int bb = 0;
+          for (; bb + 16 <= bw; bb += 16)
+            transpose16x16_u8(stage.data() + (size_t)bb * srow + r0, srow,
+                              dst + r0 * stride + b0 + bb, stride);
+          for (; bb < bw; ++bb)  // lane tail (batch not a multiple of 16)
+            for (int r = 0; r < 16; ++r)
+              dst[(r0 + r) * stride + b0 + bb] =
+                  stage[(size_t)bb * srow + r0 + r];
+        }
+#endif
+        for (; r0 < nrow; ++r0) {  // row tail: contiguous stores per row
+          uint8_t* drow = dst + r0 * stride + b0;
+          const uint8_t* scol = stage.data() + r0;
+          for (int bb = 0; bb < bw; ++bb) drow[bb] = scol[(size_t)bb * srow];
         }
       }
 #pragma omp barrier

@@ -234,6 +234,21 @@ def main():
     baseline = 15.0  # reference PairHMM FPGA avg GCUPS
 
     extras = {}
+    if on_tpu:
+        try:
+            from benchmarks.pairhmm_e2e_bench import run as e2e_run
+
+            r = e2e_run(n_batches=6, quiet=True, dev_gcups=gcups)
+            extras["pairhmm_e2e_gcups"] = round(r["e2e_gcups"], 2)
+            extras["pairhmm_pack_gcups_core"] = round(
+                r["pack_gcups_per_core"], 1
+            )
+            extras["pairhmm_link_gcups"] = round(r["link_gcups"], 2)
+            extras["pairhmm_device_occupancy_pct"] = round(
+                r["device_occupancy"] * 100, 1
+            )
+        except Exception as e:
+            extras["pairhmm_e2e_error"] = str(e)[:200]
     try:
         sw = bench_sw(on_tpu)
         extras["sw_e2e_gcups"] = round(float(sw), 3)

@@ -87,9 +87,19 @@ def test_flat_f32_upload_mode_interpret(rng):
     1-2 ulp rather than bitwise — far inside the 5e-3 contract."""
     tcs = gen_pairhmm_pairs(rng, 50, max_read_len=30, max_hap_len=60)
     outs = {}
-    for mode in ("quals", "f32"):
-        cfg = PairHMMConfig(read_buckets=(32,), hap_buckets=(64,), upload=mode)
+    for mode in ("quals", "quals_arith", "f32"):
+        cfg = PairHMMConfig(
+            read_buckets=(32,), hap_buckets=(64,),
+            upload="f32" if mode == "f32" else "quals",
+            quals_expand="arith" if mode == "quals_arith" else "gather",
+        )
         eng = PairHMMEngine(cfg, use_pallas=True)
         eng._interpret = True
         outs[mode] = eng.compute_pairs_flat(*_flatten(tcs))
+    # gather expansion uses the very same tables as the host pack:
+    # 1-2 ulp agreement
     np.testing.assert_allclose(outs["quals"], outs["f32"], rtol=1e-6)
+    # arith expansion computes ph2pr/matchToMatch on device (exp2 + the
+    # telescoped Jacobian identity): <=27 ulp coefficient agreement, so
+    # final log-likelihoods match to ~1e-5 — far inside the 5e-3 contract
+    np.testing.assert_allclose(outs["quals_arith"], outs["f32"], rtol=2e-4)
