@@ -132,7 +132,8 @@ class PairHMMEngine:
             if self.use_pallas:
                 bd = jnp.asarray(block_diag_counts(pack))
                 res = pairhmm_forward_dp_pallas(
-                    self.mesh, *args, block_diags=bd
+                    self.mesh, *args, block_diags=bd,
+                    interpret=self._interpret,
                 )
             else:
                 res = pairhmm_forward_dp(self.mesh, *args)
@@ -242,6 +243,7 @@ class PairHMMEngine:
                 # seq_size); pack to the next seq-aligned column count
                 from acc_genomics_tpu.parallel.sharded import (
                     pairhmm_forward_dpsp,
+                    pairhmm_forward_dpsp_pallas,
                 )
 
                 self.stats["sp_pairs"] = (
@@ -255,9 +257,16 @@ class PairHMMEngine:
                     rows=rows_sp, cols=cols_sp, dtype=np.float32,
                     lane_multiple=self._data_size,
                 )
-                res = pairhmm_forward_dpsp(
-                    self.mesh, *[jnp.asarray(v) for v in sp_pack.arrays()]
-                )
+                sp_args = [jnp.asarray(v) for v in sp_pack.arrays()]
+                if self.use_pallas:
+                    # Pallas band-kernel pipeline: 3x the scan body on
+                    # chip, within 1.2x of the DP Pallas kernel at long-hap
+                    # shapes (PERF_NOTES "DP x SP Pallas band pipeline")
+                    res = pairhmm_forward_dpsp_pallas(
+                        self.mesh, *sp_args, interpret=self._interpret
+                    )
+                else:
+                    res = pairhmm_forward_dpsp(self.mesh, *sp_args)
                 pending.append((np.asarray(sp_idx, np.int64), sp_pack, res))
             for (rows, cols), idxs in plan.groups.items():
                 max_pairs = self.config.max_batch_pairs

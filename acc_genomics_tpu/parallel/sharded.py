@@ -57,7 +57,7 @@ def pairhmm_forward_dp(mesh: Mesh, *packed_arrays):
 
 
 @functools.lru_cache(maxsize=None)
-def _dp_pallas_fn(mesh: Mesh):
+def _dp_pallas_fn(mesh: Mesh, interpret: bool = False):
     from acc_genomics_tpu.ops.pairhmm.kernel import pairhmm_forward_pallas
 
     spec_rb = P(None, "data")
@@ -65,7 +65,8 @@ def _dp_pallas_fn(mesh: Mesh):
 
     def local(*args):
         *arrs, bd = args
-        return pairhmm_forward_pallas(*arrs, block_diags=bd)
+        return pairhmm_forward_pallas(*arrs, block_diags=bd,
+                                      interpret=interpret)
 
     return jax.jit(jax.shard_map(
         local,
@@ -78,11 +79,12 @@ def _dp_pallas_fn(mesh: Mesh):
     ))
 
 
-def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags):
+def pairhmm_forward_dp_pallas(mesh: Mesh, *packed_arrays, block_diags,
+                              interpret: bool = False):
     """Data-parallel Pallas forward: each device runs the diagonal kernel
     on its lane shard; per-block trip counts shard with the lanes.  The
     batch must divide by 128 x data-axis size."""
-    return _dp_pallas_fn(mesh)(*packed_arrays, block_diags)
+    return _dp_pallas_fn(mesh, interpret)(*packed_arrays, block_diags)
 
 
 def _sp_forward_local(
@@ -193,3 +195,154 @@ def _dpsp_fn(mesh: Mesh):
         in_specs=(spec_rb,) * 9 + (spec_hb, spec_b),
         out_specs=spec_b,
     ))
+
+
+def _sp_pallas_local(C, n_chunks, interpret):
+    """Per-shard body for the Pallas DP x SP skewed chunk pipeline.
+
+    Superstep t: shard k runs band chunk c = t - k (when 0 <= c <
+    n_chunks) with the Pallas band kernel on its (C rows x hc cols)
+    slab, then ppermutes its right-edge column one shard to the right.
+    After n_chunks + n_seq - 1 supersteps every shard has finished; the
+    result is psum over "seq" of each shard's bottom-row X sum.  The
+    left neighbour's edge values are EXACT (its chunk ran a superstep
+    earlier), so no affine recomposition of the Y recurrence is needed —
+    cell arithmetic is the DP Pallas kernel's, bit for bit.
+    """
+    from acc_genomics_tpu.ops.pairhmm.band_kernel import (
+        hap_to_mask,
+        pairhmm_band_chunk,
+    )
+
+    def local(
+        p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_match, em_mis, rs,
+        hap_loc, y0,
+    ):
+        f32 = jnp.float32
+        seq_ax = "seq"
+        n_seq = jax.lax.axis_size(seq_ax)
+        my_seq = jax.lax.axis_index(seq_ax)
+        is_first = my_seq == 0
+        right_perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+        rows, bsz = p_mm.shape
+        hc = hap_loc.shape[0]
+        coef = jnp.stack(
+            [p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_match, em_mis]
+        ).astype(f32)
+        rs_i = rs.astype(jnp.int32)
+        hm = hap_to_mask(hap_loc.astype(jnp.int32))
+        y0f = y0.astype(f32)
+        zrow = (y0f * 0.0)[None, :]
+
+        T = n_chunks + n_seq - 1
+        zC = jnp.zeros((C, bsz), f32) + zrow
+        zhc = jnp.zeros((hc, bsz), f32) + zrow
+
+        def step(t, carry):
+            (bot_m, bot_x, bot_s, recv_m, recv_y, recv_s,
+             pl_m, pl_y, pl_s, res) = carry
+            c = jnp.clip(t - my_seq, 0, n_chunks - 1)
+            active = (t >= my_seq) & (t - my_seq < n_chunks)
+
+            # left-edge streams: shard 0 sees the virtual column -1
+            # (all zero; S corner is y0 for chunk 0 only), others the
+            # neighbour packet rows cC-1 .. cC+C-1
+            em_0 = jnp.where(is_first, zrow, pl_m)
+            ey_0 = jnp.where(is_first, zrow, pl_y)
+            es_0 = jnp.where(
+                is_first, jnp.where(c == 0, y0f[None, :], zrow), pl_s
+            )
+            e_m = jnp.concatenate([em_0, jnp.where(is_first, zC, recv_m)])
+            e_y = jnp.concatenate([ey_0, jnp.where(is_first, zC, recv_y)])
+            e_s = jnp.concatenate([es_0, jnp.where(is_first, zC, recv_s)])
+
+            # top streams: position k = my previous chunk's bottom row at
+            # column k-1.  Position 0 (the corner) is shadowed by the
+            # left-edge injection at t=0, so a zero row suffices.
+            pm = jnp.concatenate([zrow, bot_m])
+            px = jnp.concatenate([zrow, bot_x])
+            ps = jnp.concatenate([zrow, bot_s])
+
+            z32 = jnp.int32(0)
+            crows = jax.lax.dynamic_slice(
+                coef, (z32, (c * C).astype(jnp.int32), z32), (8, C, bsz)
+            )
+            rrows = jax.lax.dynamic_slice(
+                rs_i, ((c * C).astype(jnp.int32), z32), (C, bsz)
+            )
+            nb_m, nb_x, nb_s, re_m, re_y, re_s = pairhmm_band_chunk(
+                crows, rrows, hm, pm, px, ps, e_m, e_y, e_s,
+                interpret=interpret,
+            )
+
+            def keep(new, old):
+                return jnp.where(active, new, old)
+
+            bot_m2 = keep(nb_m, bot_m)
+            bot_x2 = keep(nb_x, bot_x)
+            bot_s2 = keep(nb_s, bot_s)
+            res2 = jnp.where(
+                active & (t - my_seq == n_chunks - 1),
+                nb_x.sum(axis=0),
+                res,
+            )
+
+            got_m = jax.lax.ppermute(re_m, seq_ax, right_perm)
+            got_y = jax.lax.ppermute(re_y, seq_ax, right_perm)
+            got_s = jax.lax.ppermute(re_s, seq_ax, right_perm)
+            # roll (prev_last, recv) only when the arriving packet is a
+            # real chunk of the LEFT neighbour (shard my_seq-1 active at t)
+            upd = (t >= my_seq - 1) & (t - my_seq + 1 < n_chunks)
+            pl_m2 = jnp.where(upd, recv_m[-1:], pl_m)
+            pl_y2 = jnp.where(upd, recv_y[-1:], pl_y)
+            pl_s2 = jnp.where(upd, recv_s[-1:], pl_s)
+            recv_m2 = jnp.where(upd, got_m, recv_m)
+            recv_y2 = jnp.where(upd, got_y, recv_y)
+            recv_s2 = jnp.where(upd, got_s, recv_s)
+            return (bot_m2, bot_x2, bot_s2, recv_m2, recv_y2, recv_s2,
+                    pl_m2, pl_y2, pl_s2, res2)
+
+        init = (
+            zhc, zhc, zhc + y0f[None, :],          # chunk-0 top: S = y0
+            zC, zC, zC.at[-1].set(y0f),            # init recv (S last = y0)
+            zrow, zrow, zrow + y0f[None, :],       # prev-last (edge row -1)
+            y0f * 0.0,                             # result accumulator
+        )
+        out = jax.lax.fori_loop(0, T, step, init)
+        return jax.lax.psum(out[-1], seq_ax)
+
+    return local
+
+
+@functools.lru_cache(maxsize=None)
+def _dpsp_pallas_fn(mesh: Mesh, C: int, n_chunks: int, interpret: bool):
+    spec_rb = P(None, "data")
+    spec_hb = P("seq", "data")
+    spec_b = P("data")
+    return jax.jit(jax.shard_map(
+        _sp_pallas_local(C, n_chunks, interpret),
+        mesh=mesh,
+        in_specs=(spec_rb,) * 9 + (spec_hb, spec_b),
+        out_specs=spec_b,
+        check_vma=False,
+    ))
+
+
+def pairhmm_forward_dpsp_pallas(
+    mesh: Mesh, *packed_arrays, C: int = 8, interpret: bool = False
+):
+    """DP x SP forward with the Pallas band kernel as the local body
+    (skewed chunk pipeline; see _sp_pallas_local).  packed_arrays as
+    pack.py (time-major).  rows must divide by C (a multiple of 8), hap
+    columns by the seq-axis size, batch by 128 x data-axis size."""
+    (p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_m, em_x, rs, hap_ext, y0) = (
+        packed_arrays
+    )
+    rows = p_mm.shape[0]
+    cols = hap_ext.shape[0] - rows
+    if rows % C:
+        raise ValueError(f"rows {rows} must divide by chunk size {C}")
+    hap = hap_ext[:cols]
+    return _dpsp_pallas_fn(mesh, C, rows // C, interpret)(
+        p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_m, em_x, rs, hap, y0
+    )

@@ -136,3 +136,50 @@ def test_pairhmm_oversize_hap_routes_to_sp_on_mesh():
         )
         want = np.log10(want64) - ctx64.log10_initial_constant
         assert abs(g - want) <= 5e-3 * max(abs(want), 1e-12)
+
+
+def test_pairhmm_oversize_hap_sp_pallas_on_mesh():
+    """Same SP routing with use_pallas=True: the engine runs the Pallas
+    band-kernel pipeline (interpret mode on the CPU mesh) for oversized
+    haps and matches the fp64 oracle within contract."""
+    import jax
+
+    from acc_genomics_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh((4, 2))
+    rng = np.random.default_rng(6)
+    cfg = PairHMMConfig(read_buckets=(32,), hap_buckets=(64,))
+    eng = PairHMMEngine(cfg, use_pallas=True, mesh=mesh)
+    eng._interpret = True
+    eng.min_device_cells = 0
+    tcs = []
+    for hl in (50, 100, 120):  # 100/120 exceed the 64-column bucket
+        ln = 30
+        hap = rng.integers(0, 4, hl).astype(np.uint8)
+        rs = np.resize(hap, ln).copy()
+        tcs.append(
+            dict(
+                rs=rs,
+                q=np.clip(rng.normal(30, 5, ln), 6, 127).astype(np.uint8),
+                i=np.clip(rng.normal(40, 1, ln), 1, 127).astype(np.uint8),
+                d=np.clip(rng.normal(40, 1, ln), 1, 127).astype(np.uint8),
+                c=np.full(ln, 10, np.uint8),
+                hap=hap,
+            )
+        )
+    got = eng.compute_pairs(tcs)
+    assert eng.stats.get("sp_pairs", 0) == 2
+    assert eng.stats.get("host_fallback", 0) == 0
+    from acc_genomics_tpu.ops.pairhmm.context import PairHMMContext
+
+    ctx64 = PairHMMContext(np.float64)
+    for t, g in zip(tcs, got):
+        want64 = pairhmm_oracle(
+            t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"], np.float64
+        )
+        want = np.log10(want64) - ctx64.log10_initial_constant
+        assert abs(g - want) <= 5e-3 * max(abs(want), 1e-12)

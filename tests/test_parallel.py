@@ -40,6 +40,36 @@ def test_dpsp_matches_single(rng):
 
 
 @needs_8
+def test_dpsp_pallas_matches_single(rng):
+    """The Pallas band-kernel SP pipeline (skewed chunks + ppermuted
+    edges) matches the single-device forward on a 2x4 mesh."""
+    from acc_genomics_tpu.parallel.sharded import pairhmm_forward_dpsp_pallas
+
+    pack = _pack(rng, 256, rows=16, cols=32)  # 128 lanes per data shard
+    mesh = make_mesh((2, 4))
+    import jax.numpy as jnp
+    args = [jnp.asarray(v) for v in pack.arrays()]
+    got = np.asarray(pairhmm_forward_dpsp_pallas(mesh, *args, interpret=True))
+    want = np.asarray(forward_from_pack(pack))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@needs_8
+def test_dpsp_pallas_seq_only_multichunk(rng):
+    """Seq-only mesh (1x8) with several row chunks per shard — exercises
+    the full skew depth and the prev-last edge handoff."""
+    from acc_genomics_tpu.parallel.sharded import pairhmm_forward_dpsp_pallas
+
+    pack = _pack(rng, 128, rows=24, cols=64)
+    mesh = make_mesh((1, 8))
+    import jax.numpy as jnp
+    args = [jnp.asarray(v) for v in pack.arrays()]
+    got = np.asarray(pairhmm_forward_dpsp_pallas(mesh, *args, interpret=True))
+    want = np.asarray(forward_from_pack(pack))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@needs_8
 def test_dpsp_seq_only(rng):
     pack = _pack(rng, 128, rows=16, cols=64)
     mesh = make_mesh((1, 8))
