@@ -92,10 +92,13 @@ class SmemConfig:
     # SmemParams.mem_cap; typical interval counts are ~6 at 101 bp,
     # p99 == 6 measured at 100 Mbp)
     mem_cap: int = 24
-    # use the unique-interval (s==1) text-comparison fast path when the
-    # index provides SA/ISA/text device residency (costs ~2.4 GB HBM per
-    # 100 Mbp of genome; exact results either way)
-    unique_fast: bool = True
+    # unique-interval (s==1) text-comparison fast path: exact, tested,
+    # and a measured NEGATIVE at genome scale (PERF_NOTES round-3b): the
+    # batch machine is bound by its max-iteration lane (repeat-heavy
+    # reads that rarely go unique), and the SA/ISA/text regions grow the
+    # fused gather table 17x which alone costs 2.7x per step.  Kept for
+    # unique-dominated workloads; off by default.
+    unique_fast: bool = False
 
     def params(self):
         from acc_genomics_tpu.ops.smem.reference import SmemParams

@@ -42,7 +42,9 @@ class SmemEngine:
         self.device = device or jax.devices()[0]
         self.mesh = mesh
         with Timer("smem.index_upload"):
-            idx = device_index_fused(fm)
+            # unique_fast appends SA/ISA/text regions to the probe table
+            # (the s==1 text-comparison fast path; exact either way)
+            idx = device_index_fused(fm, unique_fast=config.unique_fast)
             if mesh is not None:
                 # replicate the index on every mesh device (the analog of
                 # the reference replicating the BWT per DRAM bank)

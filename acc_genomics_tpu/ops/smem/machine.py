@@ -57,30 +57,86 @@ S_P2_NEXT = 8   # pass-2 driver: re-seed long low-occ SMEMs from midpoints
 S_P3_NEXTX = 9  # pass-3 driver
 S_P3_EXT = 10   # LAST-like strategy extension                   [probe fwd]
 S_DONE = 11
+# unique-interval (s == 1) forward fast path: once pass-1 forward
+# extension reaches a unique interval, x0 is pinned (= ISA[p] for the
+# single occurrence p = SA[x0]) and the remaining extension is a direct
+# text run-comparison — up to 128 bases per probe-slot gather instead of
+# one base per occ probe.  x1 of the break interval is one ISA lookup at
+# 2L - p - len (the revcomp occurrence).  31% of all probes at 100 Mbp
+# run on s==1 intervals (PERF_NOTES), the lever the reference never
+# needed because its per-bank DRAM streams are latency-hidden
+# (smem/device/smem.cpp bwt_manager).
+S_FWD_USA = 12  # fetch SA[x0] -> text offset                    [SA gather]
+S_FWD_U = 13    # text run-compare, >=113 bases/iteration        [text gather]
+S_FWD_UFIN = 14 # fetch ISA[2L-p-len] -> x1, push, to back phase [ISA gather]
+N_STATES = 15
+
+_U_BIG = jnp.int32(2**30)
 
 
-def device_index_fused(fm: FMIndex):
-    """Fused probe table: row b = [cnt0..3, word0..3] (one 32B gather)."""
+def device_index_fused(fm: FMIndex, unique_fast: bool = False):
+    """Fused probe table: row b = [cnt0..3, word0..3] (one 32B gather).
+
+    With ``unique_fast``, the SA, ISA, and 2-bit packed text are appended
+    as extra 8-int32 row regions of the SAME table, so the machine's one
+    row gather per iteration serves every state (occ probe, SA/ISA
+    lookup, 128-base text slice); ``uoff`` = [sa_off, isa_off, text_off,
+    seq_len] row offsets."""
     assert fm.seq_len < 2**31
     nblk = fm.bwt_packed.shape[0]
     tbl = np.empty((nblk, 8), np.int32)
     tbl[:, :4] = fm.occ_ckpt[:nblk].astype(np.int32)
     tbl[:, 4:] = fm.bwt_packed.view(np.int32)
-    return dict(
-        tbl=jnp.asarray(tbl),
+    out = dict(
         l2=jnp.asarray(fm.L2.astype(np.int32)),
         primary=jnp.asarray(np.int32(fm.primary)),
     )
+    if unique_fast:
+        n = fm.seq_len
+
+        def rows8(a):
+            pad = (-len(a)) % 8
+            return np.pad(a, (0, pad)).reshape(-1, 8)
+
+        sa8 = rows8(fm.sa.astype(np.int32))
+        isa = np.empty(n + 1, np.int32)
+        isa[fm.sa] = np.arange(n + 1, dtype=np.int32)
+        isa8 = rows8(isa)
+        # 2-bit packed text, 16 bases/word MSB-first (bwt_packed order),
+        # 8 words = 128 bases per row; one zero pad row keeps the U
+        # fetch of rows (r, r+1) inside the text region
+        tpad = (-n) % 128
+        codes = (
+            np.concatenate([fm.text, np.zeros(tpad, np.uint8)])
+            .astype(np.uint32)
+            .reshape(-1, 16)
+        )
+        shifts = 30 - 2 * np.arange(16, dtype=np.uint32)
+        words = (codes << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+        text8 = np.concatenate(
+            [words.reshape(-1, 8), np.zeros((1, 8), np.uint32)]
+        ).view(np.int32)
+        off_sa = nblk
+        off_isa = off_sa + sa8.shape[0]
+        off_text = off_isa + isa8.shape[0]
+        tbl = np.concatenate([tbl, sa8, isa8, text8], axis=0)
+        out["uoff"] = jnp.asarray(
+            np.array([off_sa, off_isa, off_text, n], np.int32)
+        )
+    out["tbl"] = jnp.asarray(tbl)
+    return out
 
 
-def _occ4_batch(tbl, primary, k):
-    """(B, 4) counts of each base among the first k+1 BWT rows; k (B,)."""
+def _occ_pos(primary, k):
+    """BWT position k -> (probe-table row, in-block offset, valid)."""
     valid = k >= 0
     kk = k - (k >= primary).astype(I32)
     kk = jnp.maximum(kk, 0)
-    blk = kk // OCC_INTERVAL
-    off = kk % OCC_INTERVAL
-    row = jnp.take(tbl, blk, axis=0)  # (B, 8) — the 32-byte probe
+    return kk // OCC_INTERVAL, kk % OCC_INTERVAL, valid
+
+
+def _occ4_from_row(row, off, valid):
+    """(B, 4) occ counts from a gathered probe row + in-block offset."""
     cnt = row[:, :4]
     w = jax.lax.bitcast_convert_type(row[:, 4:], jnp.uint32)  # (B, 4)
     m_idx = jnp.arange(4, dtype=I32)[None, :]
@@ -96,6 +152,13 @@ def _occ4_batch(tbl, primary, k):
         outs.append(cnt[:, c] + cc)
     out = jnp.stack(outs, axis=1)
     return jnp.where(valid[:, None], out, 0)
+
+
+def _occ4_batch(tbl, primary, k):
+    """(B, 4) counts of each base among the first k+1 BWT rows; k (B,)."""
+    blk, off, valid = _occ_pos(primary, k)
+    row = jnp.take(tbl, blk, axis=0)  # (B, 8) — the 32-byte probe
+    return _occ4_from_row(row, off, valid)
 
 
 # When True, the two occ probes per machine iteration (interval head and
@@ -119,19 +182,8 @@ def _occ4_pair(tbl, primary, ka, kb):
     return out[:B], out[B:]
 
 
-def _extend_batch(idx, x0, x1, s, is_back):
-    """Bidirectional extension for all 4 bases, per-lane direction.
-
-    Returns (o0, o1, os) each (B, 4) — bwt_extend semantics
-    (smem/host/baseline.cpp:87-100)."""
-    tbl, primary, l2 = idx["tbl"], idx["primary"], idx["l2"]
-    xf = jnp.where(is_back, x0, x1)
-    xo = jnp.where(is_back, x1, x0)
-    if FUSED_PROBE:
-        tk, tl = _occ4_pair(tbl, primary, xf - 1, xf - 1 + s)
-    else:
-        tk = _occ4_batch(tbl, primary, xf - 1)
-        tl = _occ4_batch(tbl, primary, xf - 1 + s)
+def _extend_from_occ(xo, xf, s, is_back, tk, tl, l2, primary):
+    """bwt_extend arithmetic from the two occ results (shared tail)."""
     oks = tl - tk
     cnt_coord = l2[None, :4] + 1 + tk
     span = ((xf <= primary) & (xf + s - 1 >= primary)).astype(I32)
@@ -146,6 +198,50 @@ def _extend_batch(idx, x0, x1, s, is_back):
     o0 = jnp.where(ib, cnt_coord, oth)
     o1 = jnp.where(ib, oth, cnt_coord)
     return o0, o1, oks
+
+
+def _extend_batch(idx, x0, x1, s, is_back):
+    """Bidirectional extension for all 4 bases, per-lane direction.
+
+    Returns (o0, o1, os) each (B, 4) — bwt_extend semantics
+    (smem/host/baseline.cpp:87-100)."""
+    tbl, primary, l2 = idx["tbl"], idx["primary"], idx["l2"]
+    xf = jnp.where(is_back, x0, x1)
+    xo = jnp.where(is_back, x1, x0)
+    if FUSED_PROBE:
+        tk, tl = _occ4_pair(tbl, primary, xf - 1, xf - 1 + s)
+    else:
+        tk = _occ4_batch(tbl, primary, xf - 1)
+        tl = _occ4_batch(tbl, primary, xf - 1 + s)
+    return _extend_from_occ(xo, xf, s, is_back, tk, tl, l2, primary)
+
+
+def _extend_batch_u(idx, x0, x1, s, is_back, urow_a, urow_b, any_u):
+    """_extend_batch with per-lane probe-row override: lanes flagged
+    ``any_u`` gather (urow_a, urow_b) — SA/ISA/text rows of the unified
+    table — through the SAME fused row gather their occ probe would use.
+    Returns the occ outputs plus the two raw gathered (B, 8) rows (the
+    occ outputs of any_u lanes are garbage; callers mask by state)."""
+    tbl, primary, l2 = idx["tbl"], idx["primary"], idx["l2"]
+    xf = jnp.where(is_back, x0, x1)
+    xo = jnp.where(is_back, x1, x0)
+    ba, oa, va = _occ_pos(primary, xf - 1)
+    bb, ob, vb = _occ_pos(primary, xf - 1 + s)
+    ba = jnp.where(any_u, urow_a, ba)
+    bb = jnp.where(any_u, urow_b, bb)
+    rows = jnp.take(tbl, jnp.concatenate([ba, bb]), axis=0)
+    B = x0.shape[0]
+    row_a, row_b = rows[:B], rows[B:]
+    tk = _occ4_from_row(row_a, oa, va)
+    tl = _occ4_from_row(row_b, ob, vb)
+    o0, o1, oks = _extend_from_occ(xo, xf, s, is_back, tk, tl, l2, primary)
+    return o0, o1, oks, row_a, row_b
+
+
+def _pick8(row, sub):
+    """row (B, 8) int32, sub (B,) in [0, 8) -> (B,) row[b, sub[b]]."""
+    io = jax.lax.broadcasted_iota(I32, row.shape, 1)
+    return jnp.sum(jnp.where(io == sub[:, None], row, 0), axis=1, dtype=I32)
 
 
 def _read_row(buf, row):
@@ -202,6 +298,33 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # derive all carry zeros from the inputs so they inherit the varying
     # mesh axes under shard_map (carry in/out types must match exactly)
     zb = ln * 0
+
+    # unique-interval fast path: active when the index carries the
+    # SA/ISA/text regions (device_index_fused(unique_fast=True)).  Reads
+    # containing N skip it (their forward breaks at the N either way);
+    # everything here is closure state built once per trace.
+    HAS_UNI = "uoff" in idx
+    if HAS_UNI:
+        uoff = idx["uoff"]
+        u_sa, u_isa, u_text, u_n = uoff[0], uoff[1], uoff[2], uoff[3]
+        io_l = jax.lax.broadcasted_iota(I32, seq_tm.shape, 0)
+        has_n = jnp.any((seq_tm >= 4) & (io_l < ln[None, :]), axis=0)
+        # 2-bit packed read plane, 16 bases/word MSB-first (text order);
+        # pad rows + 9 zero rows so the 9-word aligned window always
+        # slices in-bounds
+        Lw = (L + 15) // 16
+        lpad = 16 * Lw - L
+        codes = (
+            jnp.concatenate([seq_tm, jnp.full((lpad, B), 4, I32)])
+            if lpad
+            else seq_tm
+        )
+        c2b = jnp.where(codes >= 4, 0, codes).astype(jnp.uint32)
+        rsh = (30 - 2 * jnp.arange(16, dtype=jnp.uint32))[None, :, None]
+        rp = jnp.sum(
+            c2b.reshape(Lw, 16, B) << rsh, axis=1, dtype=jnp.uint32
+        )
+        rp_ext = jnp.concatenate([rp, jnp.zeros((9, B), jnp.uint32)])
     zeros_lb = jnp.zeros((LB, B), I32) + zb[None, :]
     zeros_mm = jnp.zeros((MM, B), I32) + zb[None, :]
     # read positions fit int16 (<= L <= 32767): halving those planes cuts
@@ -225,14 +348,16 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm16, mm4=zeros_mm16,
         iters=jnp.max(zb),  # varying scalar under shard_map
     )
+    if HAS_UNI:
+        init["ud"] = zb  # text offset: text pos of read pos j is j + ud
     if STATE_HIST:
-        init["hist"] = jnp.zeros((12,), I32)
+        init["hist"] = jnp.zeros((N_STATES,), I32)
         init["live_t"] = zb  # per-lane live (non-DONE) step count
 
     def _hist_add(n, st):
         if STATE_HIST:
             n["hist"] = n["hist"] + jnp.sum(
-                st[None, :] == jnp.arange(12, dtype=I32)[:, None],
+                st[None, :] == jnp.arange(N_STATES, dtype=I32)[:, None],
                 axis=1, dtype=I32,
             )
             n["live_t"] = n["live_t"] + (st != S_DONE).astype(I32)
@@ -306,13 +431,92 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             rd_is_base = rd < 4
 
             # ---- the one batched probe (bwt_manager analog) ----------------
-            o0, o1, osz = _extend_batch(
-                idx, s["ik0"], s["ik1"], s["iks"], is_bck
-            )
+            if HAS_UNI:
+                is_usa = st == S_FWD_USA
+                is_ufw = st == S_FWD_U
+                is_ufin = st == S_FWD_UFIN
+                any_u = is_usa | is_ufw | is_ufin
+                # per-state unified-table rows riding the probe's slots:
+                # USA -> SA row of x0; U -> the two text rows covering
+                # [ti, ti+129); UFIN -> ISA row of the revcomp locus
+                ti = s["ud"] + s["i"]
+                uq = u_n - s["ud"] - s["iken"]
+                trow = u_text + (ti >> 7)
+                urow_a = jnp.where(
+                    is_ufw, trow,
+                    jnp.where(is_usa, u_sa + (s["ik0"] >> 3),
+                              u_isa + (uq >> 3)),
+                )
+                urow_b = jnp.where(is_ufw, trow + 1, urow_a)
+                o0, o1, osz, row_a, row_b = _extend_batch_u(
+                    idx, s["ik0"], s["ik1"], s["iks"], is_bck,
+                    urow_a, urow_b, any_u,
+                )
+            else:
+                o0, o1, osz = _extend_batch(
+                    idx, s["ik0"], s["ik1"], s["iks"], is_bck
+                )
             # forward states consume complement base, backward the base
             c_fwd = 3 - rd
             oc0f, oc1f, ocsf = _pick(c_fwd, o0), _pick(c_fwd, o1), _pick(c_fwd, osz)
             oc0b, oc1b, ocsb = _pick(rd, o0), _pick(rd, o1), _pick(rd, osz)
+
+            if HAS_UNI:
+                # ---- unique fast path value plane ---------------------------
+                # USA: p = SA[x0] -> ud = p - x (x = pattern start)
+                u_p = _pick8(row_a, s["ik0"] & 7)
+                # UFIN: x1 of the break interval = ISA[2L - p - len]
+                u_x1 = _pick8(row_a, uq & 7)
+                # U: compare reads vs text over an 8-word window anchored
+                # at the fetch word containing ti; text words are already
+                # text-grid aligned, the read side funnel-shifts to match
+                tw = jax.lax.bitcast_convert_type(
+                    jnp.concatenate([row_a, row_b], axis=1), jnp.uint32
+                )  # (B, 16) text words [128r, 128r+256)
+                m0 = (ti >> 4) & 7  # window start word within the fetch
+                twin = jnp.take_along_axis(
+                    tw, m0[:, None] + jnp.arange(8)[None, :], axis=1
+                )  # (B, 8)
+                j0 = s["i"] - (ti & 15)  # read pos of window base 0
+                q0 = j0 >> 4  # arithmetic shift = floor for negatives
+                ridx = jnp.clip(
+                    q0[None, :] + jnp.arange(9, dtype=I32)[:, None],
+                    0, Lw + 8,
+                )
+                rw = jnp.take_along_axis(rp_ext, ridx, axis=0)  # (9, B)
+                c2 = (2 * (j0 & 15)).astype(jnp.uint32)
+                losh = jnp.where(c2 == 0, jnp.uint32(1), 32 - c2)
+                lo = jnp.where(c2 == 0, jnp.uint32(0), rw[1:] >> losh)
+                ar = (rw[:8] << c2) | lo  # read words aligned to text grid
+                mism = ar ^ twin.T  # (8, B); nonzero 2-bit group = mismatch
+                # window word 0 carries ti&15 already-matched bases: mask
+                mlt2 = (2 * (ti & 15)).astype(jnp.uint32)
+                tpsh = jnp.where(mlt2 == 0, jnp.uint32(1), 32 - mlt2)
+                top = jnp.where(
+                    mlt2 == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) << tpsh
+                )
+                # comparison ends at read end or text end (forced mismatch)
+                u_end = jnp.minimum(ln, u_n - s["ud"])
+                fbig = jnp.full_like(zb, _U_BIG)
+                f = fbig
+                for w in range(8):
+                    mw = mism[w]
+                    if w == 0:
+                        mw = mw & ~top
+                    te = jnp.clip(u_end - (j0 + 16 * w), 0, 16)
+                    bsh = (2 * te).astype(jnp.uint32)
+                    bot = jnp.where(
+                        te >= 16, jnp.uint32(0),
+                        jnp.uint32(0xFFFFFFFF) >> bsh,
+                    )
+                    mw = mw | bot
+                    posw = (
+                        j0 + 16 * w
+                        + (jax.lax.clz(mw) >> 1).astype(I32)
+                    )
+                    f = jnp.minimum(f, jnp.where(mw != 0, posw, fbig))
+                u_found = f < _U_BIG
+                u_adv = jnp.where(u_found, f, j0 + 128)
 
             n = dict(s)
             n["iters"] = s["iters"] + 1
@@ -405,11 +609,16 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             changed = ocsf != s["iks"]
             fwd_brk = fwd_ext & changed & (ocsf < s["min_intv"])
             fwd_go = fwd_ext & ~fwd_brk
-            # pushes: at end/N push current ik; on change push current ik too
-            push_curr(
-                fwd_end | (fwd_ext & changed),
-                s["ik0"], s["ik1"], s["iks"], s["iken"],
-            )
+            # pushes: at end/N push current ik; on change push current ik
+            # too.  UFIN's break-interval push (always s == 1, x1 from the
+            # ISA lookup) merges into the same masked write.
+            push_mask = fwd_end | (fwd_ext & changed)
+            pv1, pv2 = s["ik1"], s["iks"]
+            if HAS_UNI:
+                push_mask = push_mask | is_ufin
+                pv1 = jnp.where(is_ufin, u_x1, pv1)
+                pv2 = jnp.where(is_ufin, jnp.ones_like(zb), pv2)
+            push_curr(push_mask, s["ik0"], pv1, pv2, s["iken"])
             # advance ik on non-break extension
             upd("ik0", fwd_go, oc0f)
             upd("ik1", fwd_go, oc1f)
@@ -418,9 +627,32 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("i", fwd_go, s["i"] + 1)
             # to backward phase
             to_back = fwd_end | fwd_brk
+            if HAS_UNI:
+                to_back = to_back | is_ufin
             upd("st", to_back, jnp.full_like(st, S_BSTART))
             upd("ic", to_back, zb)
             # start/stop already x from entry init
+
+            if HAS_UNI:
+                # ======== S_FWD -> unique fast path handoff ========
+                # a successful pass-1 extension landing on s == 1 (and an
+                # N-free read) switches to text comparison; x0 is pinned
+                # from here to the break
+                u_enter = fwd_go & (ocsf == 1) & (s["min_intv"] == 1) & ~has_n
+                upd("st", u_enter, jnp.full_like(st, S_FWD_USA))
+                # ================= S_FWD_USA =================
+                upd("ud", is_usa, u_p - s["x"])
+                upd("st", is_usa, jnp.full_like(st, S_FWD_U))
+                # ================= S_FWD_U =================
+                # all bases in [i, u_adv) matched; a found break f becomes
+                # the interval end (== fwd_end/fwd_brk at position f)
+                upd("iken", is_ufw, u_adv)
+                upd("i", is_ufw, u_adv)
+                upd(
+                    "st", is_ufw & u_found,
+                    jnp.full_like(st, S_FWD_UFIN),
+                )
+                # not found (reads longer than the window): stay S_FWD_U
 
             # ================= S_BSTART =================
             use_back = (s["back_n"] == 0) | (s["stop"] - s["start"] >= 3)
@@ -623,9 +855,12 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # HBM — each iteration pays a full read+write.  Running UNROLL machine
     # steps per iteration amortizes that carry traffic; the masked updates
     # between sub-steps fuse on chip.  DONE lanes no-op, so overshooting
-    # by < UNROLL steps is harmless.
-    UNROLL = 4
-    UNROLL_P3 = 8  # pass-3 body is ~1/3 the state: deeper unroll pays
+    # by < UNROLL steps is harmless.  On CPU (the test ladder) the carry
+    # never leaves cache and the unroll only multiplies XLA compile time
+    # of the already-large body 4-8x, so it stays 1 there.
+    on_cpu = jax.devices()[0].platform == "cpu"
+    UNROLL = 1 if on_cpu else 4
+    UNROLL_P3 = 1 if on_cpu else 8  # pass-3 body is ~1/3 the state
 
     def unrolled(body, k=UNROLL):
         def body_u(s):

@@ -35,8 +35,20 @@ def test_device_pipeline_matches_host_model(rng):
 
 
 def test_device_pipeline_array_form(rng):
+    import dataclasses
+
+    from acc_genomics_tpu.config import EngineConfig, SmemConfig
+
     genome = gen_reference_with_repeats(rng, 5000)
-    eng = GenomicsEngine()
+    # the default interval caps (24/24) are tuned for 101 bp reads on
+    # genome-scale indexes; this tiny repeat-heavy genome pushes more
+    # break intervals per read, so size the caps for the workload (the
+    # over-cap host-rerun contract itself is covered by
+    # test_smem_machine.py::test_machine_curr_cap_bust_flags_host_rerun)
+    cfg = dataclasses.replace(
+        EngineConfig(), smem=SmemConfig(curr_cap=64, mem_cap=64)
+    )
+    eng = GenomicsEngine(cfg)
     eng.load_reference(genome)
     reads = gen_smem_reads(rng, genome, 6, read_len=60)
     dev = BwaMemDevicePipeline(eng, max_occ=2, flank=30)

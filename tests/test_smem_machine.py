@@ -154,3 +154,28 @@ def test_repeat_heavy_genome_default_caps(rng):
     out = eng.collect(reads)
     for r, g in zip(reads, out):
         assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
+
+
+def test_machine_unique_fast_exact(rng):
+    """unique_fast index (SA/ISA/text regions + s==1 text-comparison
+    states) is bit-exact vs the oracle and vs the plain machine,
+    including N reads, text-boundary reads, and short reads."""
+    from acc_genomics_tpu.ops.smem.machine import device_index_fused
+
+    genome = gen_reference_with_repeats(rng, 3000)
+    fm = FMIndex.build(genome)
+    reads = gen_smem_reads(rng, genome, 10, read_len=80)
+    reads[0][40] = 4                      # N mid-read (fast path bypassed)
+    reads[1] = genome[:80].copy()         # text start
+    reads[2] = genome[-80:].copy()        # text end (revcomp half boundary)
+    reads.append(genome[:22].copy())      # short
+    idx_u = device_index_fused(fm, unique_fast=True)
+    got_u, ovf_u, it_u = smem_batch_machine(idx_u, reads, seq_len=96)
+    got_p, ovf_p, it_p = smem_batch_machine(fm, reads, seq_len=96)
+    assert list(ovf_u) == list(ovf_p)
+    for k, r in enumerate(reads):
+        if ovf_u[k]:
+            continue
+        want = _canon(mem_collect_intv_oracle(fm, r))
+        assert _canon(got_u[k]) == want, k
+        assert _canon(got_p[k]) == want, k

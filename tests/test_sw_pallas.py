@@ -40,20 +40,23 @@ def test_pallas_sw_tie_breaking_stress(rng, strategy):
     """Degenerate inputs with massive score ties: identical sequences,
     homopolymers, periodic repeats — the vectorized start-cell selection
     must reproduce GATK's sequential tie-break chain exactly."""
+    # lengths sized so everything fits the 32x32 bucket: interpret-mode
+    # cost scales with rows*cols*steps and this test runs 4 strategies
+    # (48x48 was ~490s of suite time for identical coverage)
     cases = []
-    ref1 = rng.integers(0, 4, 30).astype(np.uint8)
+    ref1 = rng.integers(0, 4, 22).astype(np.uint8)
     cases.append((ref1, ref1.copy()))                      # identical
-    cases.append((np.zeros(24, np.uint8), np.zeros(30, np.uint8)))  # homopolymer
-    cases.append((np.zeros(30, np.uint8), np.zeros(18, np.uint8)))
-    per = np.tile(np.array([0, 1], np.uint8), 15)
-    cases.append((per, np.tile(np.array([0, 1], np.uint8), 12)))    # periodic
+    cases.append((np.zeros(18, np.uint8), np.zeros(22, np.uint8)))  # homopolymer
+    cases.append((np.zeros(22, np.uint8), np.zeros(13, np.uint8)))
+    per = np.tile(np.array([0, 1], np.uint8), 11)
+    cases.append((per, np.tile(np.array([0, 1], np.uint8), 9)))     # periodic
     cases.append((per, np.roll(per, 1)))                   # phase-shifted
-    ref2 = rng.integers(0, 4, 20).astype(np.uint8)
+    ref2 = rng.integers(0, 4, 12).astype(np.uint8)
     cases.append((ref2, np.concatenate([ref2, ref2])))     # tandem duplicate
     cases.append((np.concatenate([ref2, ref2]), ref2))
     refs = [r for r, _ in cases]
     alts = [a for _, a in cases]
-    got = sw_align_batch_pallas(refs, alts, strategy, rows=48, cols=48,
+    got = sw_align_batch_pallas(refs, alts, strategy, rows=32, cols=32,
                                 interpret=True)
     for (r, a), res in zip(cases, got):
         want = sw_align_oracle(r, a, strategy)
