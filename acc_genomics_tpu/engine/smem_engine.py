@@ -22,8 +22,13 @@ import numpy as np
 from acc_genomics_tpu.config import SmemConfig
 from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.machine import (
+    S_DONE,
+    _segment_jit,
     device_index_fused,
+    intervals_to_dicts,
     smem_batch_machine,
+    smem_stream_extract,
+    smem_stream_refill,
 )
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
 from acc_genomics_tpu.utils.timer import Timer
@@ -104,10 +109,25 @@ class SmemEngine:
             with Timer("smem.host_dispatch"):
                 futures.append(pool.submit(host_work, list(host_idx)))
         # segment big groups into batch_size device calls (the reference's
-        # BATCH_SIZE streaming loop, smem/main.cpp getBatch)
+        # BATCH_SIZE streaming loop, smem/main.cpp getBatch).  Groups
+        # larger than one device batch instead run the STREAMING machine:
+        # fixed-iteration segments with per-lane retirement + refill, so
+        # throughput tracks the MEAN per-read step count instead of the
+        # batch max (the DONE-wait tail was 54% of lane-steps).
         seg = max(int(self.config.batch_size), 1)
         try:
             for b, idxs in groups.items():
+                if (
+                    self.config.stream_refill
+                    and self.mesh is None
+                    and len(idxs) > seg
+                ):
+                    with Timer("smem.device_stream"):
+                        rerun = self._collect_stream(reads, idxs, b, out)
+                    if rerun:
+                        self.stats["overflow_reruns"] += len(rerun)
+                        futures.append(pool.submit(host_work, rerun))
+                    continue
                 for lo in range(0, len(idxs), seg):
                     dev_idx = idxs[lo : lo + seg]
                     with Timer("smem.device"):
@@ -131,6 +151,143 @@ class SmemEngine:
         finally:
             pool.shutdown(wait=True)
         return out
+
+    def _collect_stream(self, reads, idxs, bucket, out):
+        """Streaming collection of reads[idxs] (all <= bucket long).
+
+        The unified machine (all three passes in one state body) runs in
+        fixed-iteration segments; lanes whose read finished are retired
+        in fixed quanta of R columns and refilled from the queue, so one
+        device batch stays resident and throughput tracks the MEAN
+        per-read step count instead of the batch max (DONE-wait was 54%
+        of lane-steps in the one-shot machine).  This is the batch-scale
+        analog of the reference keeping MAX_TILE_SIZE=16 reads in flight
+        per stage (smem/device/smem.cpp:1962-1997).
+
+        Results land in out[k]; returns read indices needing a host
+        rerun (interval overflow / chain bust / step-budget cap).  Each
+        harvest cycle costs one (B,) state fetch, one extract fetch, and
+        one (L, R) upload on the tunnel.
+        """
+        import jax.numpy as jnp
+
+        cfg = self.config
+        B = max(int(cfg.batch_size), 8)
+        L = bucket
+        R = max(B // 8, 1)
+        max_lane_steps = 64 * L + 4096
+        queue = list(idxs)
+        qpos = 0
+        lane2read = np.full(B, -1, np.int64)
+        seq_np = np.full((L, B), 4, np.uint8)
+        lens_np = np.zeros(B, np.int32)
+        for j, k in enumerate(queue[:B]):
+            r = reads[k]
+            seq_np[: len(r), j] = r
+            lens_np[j] = len(r)
+            lane2read[j] = k
+        qpos = min(B, len(queue))
+        seq_dev = jnp.asarray(seq_np)
+        lens_dev = jnp.asarray(lens_np)
+        state = None
+        rerun = []
+        MM = min(max(self.params.mem_cap, 8), self.params.max_intv_alloc)
+        cap = self.params.max_intv_alloc
+
+        def plan_harvest(chunk):
+            """Dispatch extract + refill for one fixed quantum of R
+            columns; returns a deferred (extract handle, col->read map)
+            processed AFTER the next segment launches, so the extract
+            D2H and the dict conversion overlap device compute."""
+            nonlocal state, seq_dev, lens_dev, qpos
+            pad_pool = [j for j in range(B) if lane2read[j] < 0]
+            cols = list(chunk) + pad_pool[: R - len(chunk)]
+            while len(cols) < R:  # tiny batches: repeat the first column
+                cols.append(cols[0])
+            cols = cols[:R]
+            first_slot = {}
+            for j, lane in enumerate(cols):
+                first_slot.setdefault(lane, j)
+            col2read = [
+                int(lane2read[lane]) if first_slot[lane] == j else -1
+                for j, lane in enumerate(cols)
+            ]
+            cols_a = jnp.asarray(np.asarray(cols, np.int32))
+            handle = smem_stream_extract(state, cols_a)  # async dispatch
+            # refill from the queue; duplicate pad slots are inert len-0
+            new_seq = np.full((L, R), 4, np.uint8)
+            new_lens = np.zeros(R, np.int32)
+            for j, lane in enumerate(cols):
+                if first_slot[lane] != j:
+                    continue
+                lane2read[lane] = -1
+                if qpos < len(queue):
+                    k = queue[qpos]
+                    qpos += 1
+                    r = reads[k]
+                    new_seq[: len(r), j] = r
+                    new_lens[j] = len(r)
+                    lane2read[lane] = k
+            state, seq_dev, lens_dev = smem_stream_refill(
+                state, seq_dev, lens_dev, cols_a,
+                jnp.asarray(new_seq), jnp.asarray(new_lens),
+            )
+            return handle, col2read
+
+        def finish_harvest(handle, col2read):
+            got = np.asarray(handle)
+            mem_ns = got[5 * MM]
+            busts = got[5 * MM + 1]
+            div = intervals_to_dicts(
+                got[: 5 * MM].reshape(5, MM, R), np.minimum(mem_ns, MM), R
+            )
+            for j, k in enumerate(col2read):
+                if k < 0:
+                    continue
+                if busts[j] or mem_ns[j] > min(MM, cap):
+                    rerun.append(k)
+                else:
+                    out[k] = div[j]
+
+        inflight = False
+        while not (qpos >= len(queue) and (lane2read < 0).all()):
+            pending = []
+            if not inflight:
+                state = _segment_jit(
+                    self.idx, seq_dev, lens_dev,
+                    max_iters=max_lane_steps, params=self.params,
+                    seg_state=state, seg_iters=int(cfg.stream_seg_iters),
+                )
+            inflight = False
+            st_host = np.asarray(state["st"])
+            done = [
+                j for j in range(B)
+                if st_host[j] == S_DONE and lane2read[j] >= 0
+            ]
+            drained = qpos >= len(queue)
+            live_left = any(
+                lane2read[j] >= 0 and st_host[j] != S_DONE for j in range(B)
+            )
+            lo = 0
+            while lo + R <= len(done):
+                pending.append(plan_harvest(done[lo : lo + R]))
+                lo += R
+            if drained and not live_left and lo < len(done):
+                pending.append(plan_harvest(done[lo:]))
+            if pending and not (qpos >= len(queue) and (lane2read < 0).all()):
+                # launch the next segment BEFORE fetching extract outputs:
+                # the D2H + dict conversion then overlap device compute
+                state = _segment_jit(
+                    self.idx, seq_dev, lens_dev,
+                    max_iters=max_lane_steps, params=self.params,
+                    seg_state=state, seg_iters=int(cfg.stream_seg_iters),
+                )
+                inflight = True
+            for handle, col2read in pending:
+                finish_harvest(handle, col2read)
+        if state is not None:
+            self.stats["probe_iters"] += int(np.asarray(state["iters"]))
+        return rerun
 
     def collect_arrays(self, seq_tm: np.ndarray, lens: np.ndarray):
         """Raw-array SMEM collection for device pipelines (no per-interval

@@ -29,6 +29,7 @@ compared EXACTLY against it in tests.
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -265,12 +266,21 @@ def _pick(c, arr4):
 
 
 def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
-                         params: SmemParams = DEFAULT_SMEM_PARAMS):
+                         params: SmemParams = DEFAULT_SMEM_PARAMS,
+                         seg_state=None, seg_iters=None):
     """Batched 3-pass SMEM collection via the flat state machine.
 
     seq_tm: (L, B) int32 read codes (pad 4), time-major; lens: (B,)
     params: static runtime options (mem_opt_t analog)
     Returns (mem arrays (max_intv_alloc, B) x5, mem_n (B,)).
+
+    Segment mode (``seg_iters`` not None): run at most seg_iters
+    while-iterations of the UNIFIED body (all three passes in one state
+    machine, per-lane step budget instead of the scalar cap) and return
+    the raw carry dict — the streaming engine resumes it, retires DONE
+    lanes, and refills them with queued reads (smem_stream_refill /
+    smem_stream_extract).  ``seg_state`` is the carry from the previous
+    segment (None = fresh batch).
     """
     MIN_SEED_LEN = params.min_seed_len
     SPLIT_LEN = params.split_len
@@ -383,8 +393,47 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # curr/back machinery at all.  Lanes still advance one probe per
     # iteration within each phase; iteration counts are unchanged, the
     # bodies just shrink.
+    #
+    # The STREAMING engine instead needs every pass in ONE body so a
+    # segment can resume any lane anywhere (make_body12(include_p3=True));
+    # per-lane pass barriers disappear there, which is strictly fewer
+    # iterations per lane.
 
-    def make_body12():
+    def _p3_updates(s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz):
+        """Pass-3 (LAST-like scan) state updates, shared by the split
+        body3 and the unified streaming body.  Returns the mem-push mask
+        (the caller owns the mem write so it can merge pushes)."""
+        is_p3x = st == S_P3_NEXTX
+        is_p3e = st == S_P3_EXT
+
+        # ================= S_P3_NEXTX =================
+        p3_done = is_p3x & (s["x"] >= ln)
+        p3_enter = is_p3x & (s["x"] < ln) & rd_is_base
+        p3_step = is_p3x & (s["x"] < ln) & ~rd_is_base
+        upd("st", p3_done, jnp.full_like(st, S_DONE))
+        upd("st", p3_enter, jnp.full_like(st, S_P3_EXT))
+        upd("ik0", p3_enter, ix0)
+        upd("ik1", p3_enter, ix1)
+        upd("iks", p3_enter, isz)
+        upd("i", p3_enter, s["x"] + 1)
+        upd("x", p3_step, s["x"] + 1)
+
+        # ================= S_P3_EXT =================
+        p3_out = is_p3e & (s["i"] >= ln)  # exhausted: no seed
+        p3_n = is_p3e & (s["i"] < ln) & ~rd_is_base  # N: stop, x = i+1
+        p3_base = is_p3e & (s["i"] < ln) & rd_is_base
+        hit = p3_base & (ocsf < MAX_MEM_INTV) & ((s["i"] - s["x"]) >= MIN_SEED_LEN)
+        p3_go = p3_base & ~hit
+        upd("x", p3_out, ln)
+        upd("x", p3_n | hit, s["i"] + 1)
+        upd("st", p3_out | p3_n | hit, jnp.full_like(st, S_P3_NEXTX))
+        upd("ik0", p3_go, oc0f)
+        upd("ik1", p3_go, oc1f)
+        upd("iks", p3_go, ocsf)
+        upd("i", p3_go, s["i"] + 1)
+        return hit & (ocsf > 0)
+
+    def make_body12(include_p3=False, lane_cap=None):
         """smem1a machinery + the pass-1 and pass-2 drivers in ONE loop:
         lanes flow from pass 1 straight into pass 2, so the iteration
         count stays max over lanes of (p1 + p2) steps — a p1/p2 barrier
@@ -427,6 +476,8 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             pos = jnp.where(is_bck, s["k"], pos)
             pos = jnp.where(is_fem, s["m"] - 1, pos)
             pos = jnp.where(is_p2, mid, pos)
+            if include_p3:
+                pos = jnp.where(st == S_P3_EXT, s["i"], pos)
             rd = seq_at(pos)
             rd_is_base = rd < 4
 
@@ -582,7 +633,17 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             )
             p2_enter = p2_live & qual & rd_is_base  # rd = seq[mid]
             p2_step = p2_live & ~(qual & rd_is_base)
-            upd("st", p2_done, jnp.full_like(st, S_DONE))
+            if include_p3:
+                # unified body: flow straight into the pass-3 scan (the
+                # split flow parks the lane and a second while runs body3)
+                upd("st", p2_done, jnp.full_like(st, S_P3_NEXTX))
+                upd("x", p2_done, zb)
+                upd("i", p2_done, zb)
+                upd("ik0", p2_done, zb)
+                upd("ik1", p2_done, zb)
+                upd("iks", p2_done, zb)
+            else:
+                upd("st", p2_done, jnp.full_like(st, S_DONE))
             upd("st", p2_enter, jnp.full_like(st, S_FWD))
             upd("x", p2_enter, mid)
             upd("min_intv", p2_enter, p_s + 1)
@@ -768,12 +829,36 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("skip_first", skp_more, jnp.zeros(B, bool))
             upd("st", skp_exit, jnp.full_like(st, S_BSTART))
 
+            if include_p3:
+                # ---- pass-3 states live in the same body (streaming) ----
+                p3_push = _p3_updates(
+                    s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz
+                )
+
             # ---- merged mem push ------------------------------------------
             # every push site is mutually exclusive (one state per lane per
             # iteration), so they collapse into ONE masked write over the
             # (MAX_OUT, B) buffers with the values chosen by (B,) selects
             push_t = bpo_push | fem_push | fin_push  # all push the temp regs
-            push_mem(push_t, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+            if include_p3:
+                # pass 3 pushes the fresh extension, not the temp regs
+                w0 = jnp.where(p3_push, oc0f, s["t0"])
+                w1 = jnp.where(p3_push, oc1f, s["t1"])
+                w2 = jnp.where(p3_push, ocsf, s["t2"])
+                w3 = jnp.where(p3_push, s["x"], s["t3"])
+                w4 = jnp.where(p3_push, s["i"] + 1, s["t4"])
+                push_mem(push_t | p3_push, w0, w1, w2, w3, w4)
+            else:
+                push_mem(push_t, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
+
+            if lane_cap is not None:
+                # per-lane step budget (streaming: lanes start at
+                # different times, the scalar iters cap can't apply):
+                # capped live lanes are forced DONE + bust -> host rerun
+                n["lsteps"] = s["lsteps"] + (st != S_DONE).astype(I32)
+                capped = (n["st"] != S_DONE) & (n["lsteps"] >= lane_cap)
+                n["bust"] = n["bust"] | capped
+                n["st"] = jnp.where(capped, jnp.int32(S_DONE), n["st"])
 
             return n
 
@@ -811,34 +896,11 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             l2, jnp.clip(rd, 0, 3)
         )
 
-        # ================= S_P3_NEXTX =================
-        p3_done = is_p3x & (s["x"] >= ln)
-        p3_enter = is_p3x & (s["x"] < ln) & rd_is_base
-        p3_step = is_p3x & (s["x"] < ln) & ~rd_is_base
-        upd("st", p3_done, jnp.full_like(st, S_DONE))
-        upd("st", p3_enter, jnp.full_like(st, S_P3_EXT))
-        upd("ik0", p3_enter, ix0)
-        upd("ik1", p3_enter, ix1)
-        upd("iks", p3_enter, isz)
-        upd("i", p3_enter, s["x"] + 1)
-        upd("x", p3_step, s["x"] + 1)
-
-        # ================= S_P3_EXT =================
-        p3_out = is_p3e & (s["i"] >= ln)  # exhausted: no seed
-        p3_n = is_p3e & (s["i"] < ln) & ~rd_is_base  # N: stop, x = i+1
-        p3_base = is_p3e & (s["i"] < ln) & rd_is_base
-        hit = p3_base & (ocsf < MAX_MEM_INTV) & ((s["i"] - s["x"]) >= MIN_SEED_LEN)
-        p3_go = p3_base & ~hit
-        upd("x", p3_out, ln)
-        upd("x", p3_n | hit, s["i"] + 1)
-        upd("st", p3_out | p3_n | hit, jnp.full_like(st, S_P3_NEXTX))
-        upd("ik0", p3_go, oc0f)
-        upd("ik1", p3_go, oc1f)
-        upd("iks", p3_go, ocsf)
-        upd("i", p3_go, s["i"] + 1)
+        push = _p3_updates(
+            s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz
+        )
 
         # mem push (pass 3 pushes the fresh extension, not the temp regs)
-        push = hit & (ocsf > 0)
         cnt = n["mem_n"]
         slot = jnp.minimum(cnt, MM - 1)
         w = push & (cnt < MM)
@@ -868,6 +930,26 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
                 s = body(s)
             return s
         return body_u
+
+    # ---- streaming segment mode ---------------------------------------
+    if seg_iters is not None:
+        if seg_state is None:
+            state = dict(init, lsteps=zb, seg=jnp.int32(0))
+        else:
+            state = dict(seg_state, seg=jnp.int32(0))
+        body_all = unrolled(
+            make_body12(include_p3=True, lane_cap=max_iters)
+        )
+
+        def body_seg(s):
+            s = body_all(s)
+            s["seg"] = s["seg"] + 1
+            return s
+
+        def cond_seg(s):
+            return jnp.any(s["st"] != S_DONE) & (s["seg"] < seg_iters)
+
+        return jax.lax.while_loop(cond_seg, body_seg, state)
 
     # ---- passes 1 + 2 (combined loop; lanes flow p1 -> p2) ------------
     f2 = jax.lax.while_loop(cond, unrolled(make_body12()), init)
@@ -906,6 +988,97 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
 _collect_jit = jax.jit(
     smem_collect_machine, static_argnames=("max_iters", "params")
 )
+
+# streaming segment: donate the carry (it is rebuilt every call); the
+# index and the seq/lens planes are reused across segments
+_segment_jit = jax.jit(
+    smem_collect_machine,
+    static_argnames=("max_iters", "params", "seg_iters"),
+    donate_argnames=("seg_state",),
+)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def smem_stream_refill(state, seq_tm, lens, cols, new_seq, new_lens):
+    """Scatter ``new_seq``/``new_lens`` into lanes ``cols`` (distinct)
+    and reset those lanes' machine state to the fresh-read init (len 0
+    lanes park at S_DONE).  Donates state/seq/lens; returns the updated
+    triple.  cols has a FIXED size per jit cache entry — the engine pads
+    with already-retired lanes.
+
+    Only seq and two (B,)-sized planes are scattered; every state reset
+    is a constant, so it goes through a where() on the scattered lane
+    mask instead (40 per-array TPU scatters measured ~0.5 s per refill;
+    the mask form is ~ms)."""
+    B = lens.shape[0]
+    seq_tm = seq_tm.at[:, cols].set(new_seq.astype(seq_tm.dtype))
+    lens = lens.at[cols].set(new_lens.astype(lens.dtype))
+    mask = jnp.zeros((B,), jnp.bool_).at[cols].set(True)
+    nl = jnp.zeros((B,), I32).at[cols].set(new_lens.astype(I32))
+    n = dict(state)
+
+    def reset(key, const):
+        v = state[key]
+        cst = jnp.asarray(const, v.dtype)
+        m = mask if v.ndim == 1 else mask[None, :]
+        n[key] = jnp.where(m, cst, v)
+
+    for k in (
+        "x", "i", "ic", "k", "m", "p2_k", "p2_old_n", "curr_n", "back_n",
+        "mem_n", "start", "stop", "ret", "ik0", "ik1", "iks", "ikst",
+        "iken", "t0", "t1", "t2", "t3", "t4", "lsteps",
+    ):
+        reset(k, 0)
+    if "ud" in state:
+        reset("ud", 0)
+    reset("mode", 1)
+    reset("min_intv", 1)
+    for k in ("skip_first", "bust"):
+        reset(k, False)
+    for k in (
+        "cu0", "cu1", "cu2", "cu3", "bk0", "bk1", "bk2", "bk3", "bk4",
+        "mm0", "mm1", "mm2", "mm3", "mm4",
+    ):
+        reset(k, 0)
+    n["st"] = jnp.where(
+        mask,
+        jnp.where(nl > 0, jnp.int32(S_P1_NEXTX), jnp.int32(S_DONE)),
+        state["st"],
+    )
+    return n, seq_tm, lens
+
+
+@jax.jit
+def smem_stream_extract(state, cols):
+    """Retired lanes' outputs as ONE array (one D2H round trip on the
+    dev tunnel): rows [0..5*MM) = the five interval planes stacked,
+    row 5*MM = mem_n, row 5*MM+1 = bust."""
+    mm = [
+        state[k][:, cols].astype(jnp.int32)
+        for k in ("mm0", "mm1", "mm2", "mm3", "mm4")
+    ]
+    return jnp.concatenate(
+        [jnp.concatenate(mm, axis=0),
+         state["mem_n"][cols][None],
+         state["bust"][cols].astype(I32)[None]]
+    )
+
+
+_IV_KEYS = ("x0", "x1", "s", "start", "end")
+
+
+def intervals_to_dicts(mem, nn, n_lanes):
+    """(5, rows, B) int array + per-lane counts -> per-lane interval-dict
+    lists.  One vectorized transpose+tolist instead of 5 numpy scalar
+    reads per interval (~4x less host time per read; the conversion was
+    ~30 us/read and dominated engine e2e at genome scale)."""
+    if mem.size == 0:
+        return [[] for _ in range(n_lanes)]
+    rows_list = mem.transpose(2, 1, 0).tolist()  # (B, rows, 5) python ints
+    return [
+        [dict(zip(_IV_KEYS, row)) for row in rows_list[k][: int(nn[k])]]
+        for k in range(n_lanes)
+    ]
 
 
 def smem_batch_machine(
@@ -951,18 +1124,7 @@ def smem_batch_machine(
     mem_n, iters = jax.device_get((mem_n, jnp.asarray(iters)))
     used = int(min(MAX_OUT, mem_n.max(initial=0)))
     mem = np.asarray(jnp.stack([m[:used].astype(jnp.int32) for m in mem]))
-    out = []
     overflow = (mem_n > MAX_OUT)[:n_in]
     rows = mem.shape[1]  # may be < used: bust lanes force mem_n past cap
-    for k in range(n_in):
-        nn = int(min(mem_n[k], rows))
-        out.append(
-            [
-                dict(
-                    x0=int(mem[0][j, k]), x1=int(mem[1][j, k]), s=int(mem[2][j, k]),
-                    start=int(mem[3][j, k]), end=int(mem[4][j, k]),
-                )
-                for j in range(nn)
-            ]
-        )
+    out = intervals_to_dicts(mem, np.minimum(mem_n, rows), n_in)
     return out, overflow, int(iters)

@@ -179,3 +179,26 @@ def test_machine_unique_fast_exact(rng):
         want = _canon(mem_collect_intv_oracle(fm, r))
         assert _canon(got_u[k]) == want, k
         assert _canon(got_p[k]) == want, k
+
+
+def test_stream_refill_engine_exact(rng):
+    """Streaming machine (unified all-pass body, fixed-iteration
+    segments, lane retirement + refill in fixed quanta) is exact vs the
+    oracle across many refill cycles, including N reads, short reads,
+    all-N reads, and overflow -> host reruns."""
+    from acc_genomics_tpu.config import SmemConfig
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+
+    genome = gen_reference_with_repeats(rng, 4000)
+    fm = FMIndex.build(genome)
+    cfg = SmemConfig(
+        batch_size=8, stream_seg_iters=5, read_buckets=(96,), seq_length=96
+    )
+    eng = SmemEngine(fm, cfg)
+    reads = gen_smem_reads(rng, genome, 37, read_len=80)
+    reads[0][33] = 4
+    reads[5] = reads[5][:25].copy()
+    reads.append(np.full(30, 4, np.uint8))
+    got = eng.collect(reads)
+    for k, r in enumerate(reads):
+        assert _canon(got[k]) == _canon(mem_collect_intv_oracle(fm, r)), k
