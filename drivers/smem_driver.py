@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--no-validate", action="store_true",
                     help="skip byte-level cross-check when loading a bwa index")
     ap.add_argument("--reads", type=int, default=2048)
+    ap.add_argument("--reads-file",
+                    help="text read file, one ACGTN read per line (the "
+                         "reference driver's getBatch format, "
+                         "smem/main.cpp:71-93); overrides --reads")
     ap.add_argument("--read-len", type=int, default=101)
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--check", type=int, default=32, help="reads golden-checked per batch")
@@ -101,14 +105,34 @@ def main():
     engine.set_index(fm)
     print(f"index uploaded to device in {time.time()-t0:.2f}s")
 
+    file_reads = None
+    if args.reads_file:
+        # nst_nt4-style encode: ACGT -> 0..3, everything else N (4)
+        lut = np.full(256, 4, np.uint8)
+        for i, c in enumerate("ACGT"):
+            lut[ord(c)] = i
+            lut[ord(c.lower())] = i
+        with open(args.reads_file) as f:
+            file_reads = [
+                lut[np.frombuffer(line.strip().encode(), np.uint8)]
+                for line in f if line.strip()
+            ]
+        args.reads = len(file_reads)
+        args.batches = 1
+
+    def batch_reads():
+        if file_reads is not None:
+            return file_reads
+        return gen_smem_reads(rng, genome, args.reads, read_len=args.read_len)
+
     # warm the jit cache at the real batch shape before timing
-    engine.smem_collect(gen_smem_reads(rng, genome, args.reads, read_len=args.read_len))
+    engine.smem_collect(batch_reads())
 
     failures = 0
     total_reads = 0
     total_time = 0.0
     for b in range(args.batches):
-        reads = gen_smem_reads(rng, genome, args.reads, read_len=args.read_len)
+        reads = batch_reads()
         t0 = time.time()
         got = engine.smem_collect(reads)
         dt = time.time() - t0
