@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""A/B the SMEM probe-table layout in the REAL machine at genome scale.
+"""SMEM machine microbench at genome scale (raw machine loop, no engine).
 
-Runs smem_collect_machine on the cached 100 Mbp index with each probe
-layout (identical bits, different HBM dtype/shape), checks the outputs
-are exactly equal, and reports reads/s.  The microbench in gather_ab.py
-was unstable because XLA's gather-slice optimization consumed different
-fractions of each variant; the machine consumes every gathered byte.
+Historically this harness A/B'd probe-table layouts (i32x8 / f32x8 /
+i64x4 — identical bits, different HBM dtype/shape); the sweep concluded
+NEGATIVE (f32x8 bitcast identical, i64x4 slower, padded 64-B rows
+slower — PERF_NOTES "SMEM round-3 findings") and the layout knob was
+removed.  What remains is the useful core: time the machine loop on a
+cached index, optionally with the unique_fast (s==1 shortcut) index
+regions, and report reads/s + step cost.
 
-  python benchmarks/smem_layout_ab.py [--npz data/chr100m.fm.npz] [--reads 16384]
+  python benchmarks/smem_layout_ab.py [--npz data/chr100m.fm.npz]
+      [--reads 65536] [--unique-fast]
 """
 
 import argparse
@@ -19,10 +22,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-
-jax.config.update("jax_enable_x64", True)  # for the i64x4 variant
-
 import jax.numpy as jnp
 
 from acc_genomics_tpu.io.synth import gen_smem_reads
@@ -33,9 +32,10 @@ from acc_genomics_tpu.ops.smem.machine import _collect_jit, device_index_fused
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--npz", default="data/chr100m.fm.npz")
-    ap.add_argument("--reads", type=int, default=16384)
+    ap.add_argument("--reads", type=int, default=65536)
     ap.add_argument("--read-len", type=int, default=101)
-    ap.add_argument("--layouts", default="i32x8,f32x8,i64x4")
+    ap.add_argument("--unique-fast", action="store_true",
+                    help="append the SA/ISA/text regions (s==1 shortcut)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -45,7 +45,6 @@ def main():
     genome = fm.text[: fm.seq_len // 2]
     reads = gen_smem_reads(rng, genome, args.reads, read_len=args.read_len)
     B = len(reads)
-    L = args.read_len
     seq_tm = np.full((128, B), 4, np.uint8)
     lens = np.zeros(B, np.int32)
     for k, r in enumerate(reads):
@@ -54,26 +53,20 @@ def main():
     seq_tm_j = jnp.asarray(seq_tm)
     lens_j = jnp.asarray(lens)
 
-    ref = None
-    for layout in args.layouts.split(","):
-        idx = device_index_fused(fm, layout=layout)
-        mem, mem_n, iters = _collect_jit(idx, seq_tm_j, lens_j)  # warm
-        got = jax.device_get((jnp.stack(mem), mem_n, iters))
-        if ref is None:
-            ref = got
-            print(f"iters={int(got[2])}")
-        else:
-            assert np.array_equal(ref[0], got[0]), f"{layout}: mem mismatch"
-            assert np.array_equal(ref[1], got[1]), f"{layout}: mem_n mismatch"
-        reps = 3
+    idx = device_index_fused(fm, unique_fast=args.unique_fast)
+    mem, mem_n, iters = _collect_jit(idx, seq_tm_j, lens_j)  # warm/compile
+    np.asarray(mem_n)
+    reps, best = 3, 1e9
+    for _ in range(reps):
         t0 = time.time()
-        for _ in range(reps):
-            mem, mem_n, iters = _collect_jit(idx, seq_tm_j, lens_j)
-        jax.device_get(mem_n)
-        dt = (time.time() - t0) / reps
-        print(f"{layout:8s} {dt:7.3f} s/batch  {B/dt:9.0f} reads/s  "
-              f"{dt/int(got[2])*1e6:8.1f} us/machine-iter")
-        del idx
+        mem, mem_n, iters = _collect_jit(idx, seq_tm_j, lens_j)
+        np.asarray(mem_n)
+        best = min(best, time.time() - t0)
+    it = int(np.asarray(iters))
+    print(
+        f"unique_fast={args.unique_fast}: {B/best:.0f} reads/s, "
+        f"{best*1e3:.0f} ms/batch, {it} steps, {best/it*1e6:.0f} us/step"
+    )
 
 
 if __name__ == "__main__":
