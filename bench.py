@@ -107,7 +107,8 @@ def bench_sw(on_tpu):
     from acc_genomics_tpu.io.synth import gen_sw_batch
 
     rng = np.random.default_rng(0)
-    batch = 4096 if on_tpu else 64  # e2e scales with batch (1K: ~1.1, 4K: ~2.3 GCUPS)
+    batch = 8192 if on_tpu else 64  # e2e scales with batch (4K: ~1.8-2.3,
+    # 8K: ~2.3-2.6 GCUPS; 16K flat — round-3 sweep)
     K = 4 if on_tpu else 2
     eng = SWEngine()
     ref, alts = gen_sw_batch(rng, batch, ref_len=286)

@@ -21,6 +21,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the big state-machine/interpret bodies
+# cost 20-120 s each to compile on this 1-core box; repeat suite runs
+# (same shapes) hit the cache instead.  Repo-local + gitignored.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without these knobs: compile as before
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
