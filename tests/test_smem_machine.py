@@ -88,12 +88,19 @@ def test_machine_fuzz_seeds(rng):
     """Exact parity across varied genome structures and seeds; the corpus
     exercises every oracle branch (backenlarge/forwardenlarge/skip/P2/P3 —
     verified by instrumentation)."""
+    from acc_genomics_tpu.ops.smem.reference import DEFAULT_SMEM_PARAMS
+
+    # caps sized for these repeat-heavy corpora (the production defaults
+    # 24/24 bust chains here by DESIGN and route to host — that contract
+    # is covered by test_machine_curr_cap_bust_flags_host_rerun; this
+    # test wants overflow to keep its strong oracle meaning)
+    params = DEFAULT_SMEM_PARAMS._replace(curr_cap=96, mem_cap=256)
     for seed, glen, rep_len, n_rep in ((7, 800, 20, 20), (11, 3000, 60, 4), (23, 1500, 35, 12)):
         r2 = np.random.default_rng(seed)
         genome = gen_reference_with_repeats(r2, glen, repeat_len=rep_len, n_repeats=n_rep)
         fm = FMIndex.build(genome)
         reads = gen_smem_reads(r2, genome, 6, read_len=75)
-        got, ovf, _ = smem_batch_machine(fm, reads, seq_len=80)
+        got, ovf, _ = smem_batch_machine(fm, reads, seq_len=80, params=params)
         for g, r, o in zip(got, reads, ovf):
             want = mem_collect_intv_oracle(fm, r)
             if o:
