@@ -192,7 +192,6 @@ class SmemEngine:
         state = None
         rerun = []
         MM = min(max(self.params.mem_cap, 8), self.params.max_intv_alloc)
-        cap = self.params.max_intv_alloc
 
         def plan_harvest(chunk):
             """Dispatch extract + refill for one fixed quantum of R
@@ -202,8 +201,11 @@ class SmemEngine:
             nonlocal state, seq_dev, lens_dev, qpos
             pad_pool = [j for j in range(B) if lane2read[j] < 0]
             cols = list(chunk) + pad_pool[: R - len(chunk)]
-            while len(cols) < R:  # tiny batches: repeat the first column
-                cols.append(cols[0])
+            # chunk + unassigned lanes always reach R (B >= 8R; a partial
+            # final chunk means every other lane is already retired);
+            # duplicate columns would hit undefined scatter order in the
+            # refill, so fail loudly if the invariant ever breaks
+            assert len(cols) >= R, (len(chunk), len(pad_pool), R)
             cols = cols[:R]
             first_slot = {}
             for j, lane in enumerate(cols):
@@ -244,7 +246,7 @@ class SmemEngine:
             for j, k in enumerate(col2read):
                 if k < 0:
                     continue
-                if busts[j] or mem_ns[j] > min(MM, cap):
+                if busts[j] or mem_ns[j] > MM:
                     rerun.append(k)
                 else:
                     out[k] = div[j]

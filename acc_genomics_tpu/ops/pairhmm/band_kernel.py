@@ -46,8 +46,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from acc_genomics_tpu.ops.pairhmm.kernel import (  # shared encoding:
+    PAD_MASK,      # the DP kernel and the band kernel must agree
+    hap_to_mask,   # bit-for-bit on base/pad masks
+)
+
 LANES = 128
-PAD_MASK = 16  # one-hot channel for padded hap columns (never matches)
 
 
 def _round8(n):
@@ -281,13 +285,3 @@ def pairhmm_band_chunk(
     sl = lambda a: jax.lax.slice(a, (C - 1, 0), (C - 1 + hc, bsz))
     return sl(bot_m), sl(bot_x), sl(bot_s), redge_m, redge_y, redge_s
 
-
-def hap_to_mask(hap_codes):
-    """hap base codes -> one-hot match masks (PAD columns never match)."""
-    from acc_genomics_tpu.utils.convert import BASE_N, HAP_PAD
-
-    return jnp.where(
-        hap_codes >= HAP_PAD,
-        PAD_MASK,
-        jnp.where(hap_codes == BASE_N, 15, jnp.int32(1) << hap_codes),
-    ).astype(jnp.int32)

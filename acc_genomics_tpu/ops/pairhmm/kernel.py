@@ -65,6 +65,17 @@ LANES = 128
 PAD_MASK = 16  # one-hot channel for padded hap columns (never matches)
 
 
+def hap_to_mask(hap_codes):
+    """hap base codes -> one-hot match masks (N matches everything, PAD
+    columns never match).  Shared by the DP kernel and the SP band
+    kernel so the two paths cannot drift (PARITY bit-for-bit contract)."""
+    return jnp.where(
+        hap_codes >= HAP_PAD,
+        PAD_MASK,
+        jnp.where(hap_codes == BASE_N, 15, jnp.int32(1) << hap_codes),
+    ).astype(jnp.int32)
+
+
 def _pairhmm_diag_kernel(
     nd_ref,  # scalar prefetch: per-block diagonal count (even)
     p_mm_ref, p_gapm_ref, p_mx_ref, p_xx_ref, p_my_ref, p_yy_ref,
@@ -283,11 +294,7 @@ def pairhmm_forward_pallas(
         block_diags = jnp.full((nblk,), (n_diag_max + 3) // 4 * 4, jnp.int32)
 
     # hap chars -> one-hot masks once, outside the kernel (fused by XLA)
-    hap_mask = jnp.where(
-        hap_ext >= HAP_PAD,
-        PAD_MASK,
-        jnp.where(hap_ext == BASE_N, 15, jnp.int32(1) << hap_ext),
-    ).astype(jnp.int32)
+    hap_mask = hap_to_mask(hap_ext)
 
     coef = [p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, em_match, em_mis]
     y0_row = y0.reshape(1, bsz).astype(dtype)

@@ -199,7 +199,8 @@ def test_stream_refill_engine_exact(rng):
     genome = gen_reference_with_repeats(rng, 4000)
     fm = FMIndex.build(genome)
     cfg = SmemConfig(
-        batch_size=8, stream_seg_iters=5, read_buckets=(96,), seq_length=96
+        batch_size=8, stream_seg_iters=5, read_buckets=(96,), seq_length=96,
+        stream_refill=True,  # the default is off; this test IS the stream
     )
     eng = SmemEngine(fm, cfg)
     reads = gen_smem_reads(rng, genome, 37, read_len=80)
