@@ -636,34 +636,33 @@ class PairHMMEngine:
                 jnp.full((rows, big_dev.shape[1]), HAP_PAD, jnp.uint8),
             ]
         )
+        expand = getattr(self.config, "quals_expand", "arith")
         if self._tables is None:
-            self._tables = (
-                jax.device_put(
-                    jnp.asarray(self.ctx32.ph2pr.astype(np.float32)),
-                    self.device,
-                ),
-                jax.device_put(
-                    jnp.asarray(
-                        self.ctx32.match_to_match.astype(np.float32)
+            if expand == "gather":
+                self._tables = (
+                    jax.device_put(
+                        jnp.asarray(self.ctx32.ph2pr.astype(np.float32)),
+                        self.device,
                     ),
-                    self.device,
-                ),
-            )
+                    jax.device_put(
+                        jnp.asarray(
+                            self.ctx32.match_to_match.astype(np.float32)
+                        ),
+                        self.device,
+                    ),
+                )
+            else:
+                # arith mode computes the coefficients in-kernel; tiny
+                # placeholders keep the call signature uniform without
+                # paying two device_put round trips on the tunnel
+                z = jax.device_put(jnp.zeros((1,), jnp.float32), self.device)
+                self._tables = (z, z)
         return pairhmm_forward_pallas_from_quals_packed(
             big_dev, meta_dev, *self._tables,
             rows=rows,
             initial_constant=float(self.ctx32.initial_constant),
             interpret=self._interpret,
-            expand=getattr(self.config, "quals_expand", "arith"),
-        )
-
-    def _launch_quals(self, packed, g_lens, g_hlens):
-        """Enqueue one byte-plane bucket from pre-packed planes (single
-        -bucket form: pack arrays + two H2D transfers + kernel)."""
-        big, meta = self._quals_pack_arrays(packed, g_lens, g_hlens)
-        rows = packed[4].shape[0]
-        return self._launch_quals_dev(
-            jnp.asarray(big), jnp.asarray(meta), rows
+            expand=expand,
         )
 
     def _epilogue_flat(

@@ -150,6 +150,17 @@ class SmemEngine:
                     f.result()  # re-raise host errors
         finally:
             pool.shutdown(wait=True)
+            # surface host-worker failures even when the device loop
+            # raised first (the host error is often the root cause);
+            # never mask the primary exception
+            import sys
+
+            for f in futures:
+                if f.done() and not f.cancelled() and f.exception():
+                    print(
+                        f"smem host worker failed: {f.exception()!r}",
+                        file=sys.stderr,
+                    )
         return out
 
     def _collect_stream(self, reads, idxs, bucket, out):

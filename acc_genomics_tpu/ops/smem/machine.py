@@ -272,7 +272,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
 
     seq_tm: (L, B) int32 read codes (pad 4), time-major; lens: (B,)
     params: static runtime options (mem_opt_t analog)
-    Returns (mem arrays (max_intv_alloc, B) x5, mem_n (B,)).
+    Returns (mem arrays (mem_cap, B) x5, mem_n (B,), iters scalar);
+    mem_n > max_intv_alloc marks unfinished/overflow/bust lanes (host
+    rerun contract) and can exceed the carried mem_cap rows.
 
     Segment mode (``seg_iters`` not None): run at most seg_iters
     while-iterations of the UNIFIED body (all three passes in one state
