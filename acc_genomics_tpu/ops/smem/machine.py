@@ -922,9 +922,14 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # by < UNROLL steps is harmless.  On CPU (the test ladder) the carry
     # never leaves cache and the unroll only multiplies XLA compile time
     # of the already-large body 4-8x, so it stays 1 there.
+    import os
+
     on_cpu = jax.devices()[0].platform == "cpu"
-    UNROLL = 1 if on_cpu else 4
-    UNROLL_P3 = 1 if on_cpu else 8  # pass-3 body is ~1/3 the state
+    # A/B'd 4/8/16 at 100 Mbp round 3: flat (726/733/730 us/step) — XLA
+    # already fuses the sub-step where-chains into one carry pass, so
+    # deeper unrolls buy nothing; the env knob stays for future A/Bs
+    UNROLL = 1 if on_cpu else int(os.environ.get("SMEM_UNROLL", "4"))
+    UNROLL_P3 = 1 if on_cpu else 2 * UNROLL  # pass-3 body is ~1/3 the state
 
     def unrolled(body, k=UNROLL):
         def body_u(s):
