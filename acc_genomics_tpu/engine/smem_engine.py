@@ -309,10 +309,38 @@ class SmemEngine:
         Returns (mem (5, used, B) int32 [x0,x1,s,start,end], mem_n (B,),
         overflow (B,) bool).  Overflow/bust lanes carry no intervals here;
         callers route those reads through the host path.
+
+        Batches wider than config.batch_size are segmented into
+        batch_size device calls (one jit-cache shape, bounded HBM) and
+        the results re-concatenated.
         """
         import jax.numpy as jnp
 
         from acc_genomics_tpu.ops.smem.machine import _collect_jit
+
+        B = seq_tm.shape[1]
+        seg = max(int(self.config.batch_size), 1)
+        if B > seg:
+            parts = [
+                self.collect_arrays(seq_tm[:, lo : lo + seg],
+                                    lens[lo : lo + seg])
+                for lo in range(0, B, seg)
+            ]
+            used = max(p[0].shape[1] for p in parts)
+
+            def padu(m):
+                pad = used - m.shape[1]
+                if pad:
+                    m = np.concatenate(
+                        [m, np.zeros((5, pad, m.shape[2]), m.dtype)], axis=1
+                    )
+                return m
+
+            return (
+                np.concatenate([padu(p[0]) for p in parts], axis=2),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
 
         with Timer("smem.device"):
             mem, mem_n, iters = _collect_jit(
