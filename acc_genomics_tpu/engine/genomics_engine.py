@@ -65,6 +65,14 @@ class GenomicsEngine:
         )
 
     def sw_align(self, ref, alts, strategy: int = 0):
+        """ONE reference vs many alts (the HC realignment form).  For
+        independent (ref, alt) pairs use ``self.sw.align(refs, alts)``."""
+        ref = np.asarray(ref)
+        if ref.ndim != 1:
+            raise ValueError(
+                "sw_align takes ONE 1-D reference (vs many alts); for a "
+                "list of per-pair references use engine.sw.align(refs, alts)"
+            )
         return self.sw.align_one_ref(ref, alts, strategy)
 
     def extend_seeds(self, seeds: Sequence[dict]):
