@@ -126,8 +126,12 @@ class FMIndex:
     # -- persistence (the reference's only durable state is the loaded
     # index; kernels themselves are stateless request/response) ----------
 
-    def save(self, path: str) -> None:
-        np.savez_compressed(
+    def save(self, path: str, compress: bool = False) -> None:
+        # uncompressed by default: at 100 Mbp the arrays are ~2 GB and
+        # zlib costs minutes on one core for a local scratch cache;
+        # np.load reads either form
+        writer = np.savez_compressed if compress else np.savez
+        writer(
             path, bwt=self.bwt, text=self.text,
             primary=np.int64(self.primary), L2=self.L2,
             seq_len=np.int64(self.seq_len), sa=self.sa,

@@ -292,7 +292,20 @@ def bench_bwamem(on_tpu):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache (same as tests/conftest.py): the bench
+    # compiles ~10 multi-second programs; repeat runs in one container
+    # (builder A/Bs, the driver's round-end run) hit the cache instead.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the knobs: cold compiles only
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
