@@ -92,27 +92,17 @@ class SmemConfig:
     # SmemParams.mem_cap; typical interval counts are ~6 at 101 bp,
     # p99 == 6 measured at 100 Mbp)
     mem_cap: int = 24
-    # streaming machine: when a bucket group exceeds one device batch,
-    # run the unified (all-pass) state machine in fixed-iteration
-    # segments, retiring finished lanes in quanta of batch_size/8 and
-    # refilling from the read queue — throughput then tracks the MEAN
-    # per-read step count instead of the batch max.  Measured NEUTRAL at
-    # uniform 101 bp / 100 Mbp (29% fewer machine steps, eaten by the
-    # unified body's +40% step cost and retirement latency; PERF_NOTES
-    # round-3b) but stable under tunnel variance and the right shape for
-    # long-tail mixed-length workloads; off by default.
-    stream_refill: bool = False
-    # while-iterations per streaming segment (each is UNROLL=4 machine
-    # steps on TPU); smaller = finer retirement granularity, more host
-    # round trips per read
-    stream_seg_iters: int = 64
-    # unique-interval (s==1) text-comparison fast path: exact, tested,
-    # and a measured NEGATIVE at genome scale (PERF_NOTES round-3b): the
-    # batch machine is bound by its max-iteration lane (repeat-heavy
-    # reads that rarely go unique), and the SA/ISA/text regions grow the
-    # fused gather table 17x which alone costs 2.7x per step.  Kept for
-    # unique-dominated workloads; off by default.
-    unique_fast: bool = False
+    # multi-read lanes: workloads wider than batch_size give each lane
+    # up to this many reads to process SEQUENTIALLY in one device call
+    # (in-body switching).  The while-loop bound becomes the max over
+    # lanes of the SUM of per-read step counts — sums concentrate
+    # (~1/sqrt(Q) relative spread), killing the 54% DONE-wait the
+    # one-shot batch pays to its slowest lane (PERF_NOTES round 4; the
+    # TPU-shaped analog of smem/device/smem.cpp keeping MAX_TILE_SIZE
+    # reads in flight per stage).  Supersedes the round-3 stream_refill
+    # and unique_fast experiments (both pruned; negative results in
+    # PERF_NOTES).
+    max_reads_per_lane: int = 8
 
     def params(self):
         from acc_genomics_tpu.ops.smem.reference import SmemParams

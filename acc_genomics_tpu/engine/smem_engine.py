@@ -7,9 +7,14 @@ Reads whose interval count exceeds MAX_INTV_ALLOC are rerun on the host
 oracle, matching the reference's overflow contract (smem/main.cpp:158-164).
 
 The device path is the flat state machine of ops/smem/machine.py (one
-batched 32-byte FM-index probe per iteration for every lane); the
-literal while_loop translation in ops/smem/jax_impl.py is kept as a
-secondary implementation for differential testing.
+batched 32-byte FM-index probe per iteration for every lane).  Workloads
+wider than one device batch run the MULTI-READ machine: each lane
+processes Q reads sequentially (in-body switching), so the while-loop
+iteration count tracks the max over lanes of the SUM of Q per-read step
+counts — sums concentrate (CLT), killing the 54% DONE-wait the one-shot
+batch pays to its slowest lane (PERF_NOTES round 4).  This is the
+TPU-shaped analog of the reference streaming reads through resident PEs
+(smem/device/smem.cpp MAX_TILE_SIZE in-flight reads per stage).
 """
 
 from __future__ import annotations
@@ -22,13 +27,11 @@ import numpy as np
 from acc_genomics_tpu.config import SmemConfig
 from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.machine import (
-    S_DONE,
-    _segment_jit,
+    _collect_jit,
+    _collect_multi_jit,
     device_index_fused,
     intervals_to_dicts,
     smem_batch_machine,
-    smem_stream_extract,
-    smem_stream_refill,
 )
 from acc_genomics_tpu.ops.smem.reference import mem_collect_intv_oracle
 from acc_genomics_tpu.utils.timer import Timer
@@ -47,9 +50,7 @@ class SmemEngine:
         self.device = device or jax.devices()[0]
         self.mesh = mesh
         with Timer("smem.index_upload"):
-            # unique_fast appends SA/ISA/text regions to the probe table
-            # (the s==1 text-comparison fast path; exact either way)
-            idx = device_index_fused(fm, unique_fast=config.unique_fast)
+            idx = device_index_fused(fm)
             if mesh is not None:
                 # replicate the index on every mesh device (the analog of
                 # the reference replicating the BWT per DRAM bank)
@@ -108,24 +109,14 @@ class SmemEngine:
         if host_idx:
             with Timer("smem.host_dispatch"):
                 futures.append(pool.submit(host_work, list(host_idx)))
-        # segment big groups into batch_size device calls (the reference's
-        # BATCH_SIZE streaming loop, smem/main.cpp getBatch).  Groups
-        # larger than one device batch instead run the STREAMING machine:
-        # fixed-iteration segments with per-lane retirement + refill, so
-        # throughput tracks the MEAN per-read step count instead of the
-        # batch max (the DONE-wait tail was 54% of lane-steps).
+        # groups wider than one device batch run the multi-read machine
+        # (Q reads per lane); groups bigger than Q_max * batch segment
         seg = max(int(self.config.batch_size), 1)
         try:
             for b, idxs in groups.items():
-                if (
-                    self.config.stream_refill
-                    and self.mesh is None
-                    and len(idxs) > seg
-                ):
-                    with Timer("smem.device_stream"):
-                        rerun = self._collect_stream(reads, idxs, b, out)
+                if self.mesh is None and len(idxs) > seg:
+                    rerun = self._collect_multi(reads, idxs, b, out)
                     if rerun:
-                        self.stats["overflow_reruns"] += len(rerun)
                         futures.append(pool.submit(host_work, rerun))
                     continue
                 for lo in range(0, len(idxs), seg):
@@ -163,146 +154,33 @@ class SmemEngine:
                     )
         return out
 
-    def _collect_stream(self, reads, idxs, bucket, out):
-        """Streaming collection of reads[idxs] (all <= bucket long).
-
-        The unified machine (all three passes in one state body) runs in
-        fixed-iteration segments; lanes whose read finished are retired
-        in fixed quanta of R columns and refilled from the queue, so one
-        device batch stays resident and throughput tracks the MEAN
-        per-read step count instead of the batch max (DONE-wait was 54%
-        of lane-steps in the one-shot machine).  This is the batch-scale
-        analog of the reference keeping MAX_TILE_SIZE=16 reads in flight
-        per stage (smem/device/smem.cpp:1962-1997).
-
-        Results land in out[k]; returns read indices needing a host
-        rerun (interval overflow / chain bust / step-budget cap).  Each
-        harvest cycle costs one (B,) state fetch, one extract fetch, and
-        one (L, R) upload on the tunnel.
-        """
-        import jax.numpy as jnp
-
-        cfg = self.config
-        B = max(int(cfg.batch_size), 8)
-        L = bucket
-        R = max(B // 8, 1)
-        max_lane_steps = 64 * L + 4096
-        queue = list(idxs)
-        qpos = 0
-        lane2read = np.full(B, -1, np.int64)
-        seq_np = np.full((L, B), 4, np.uint8)
-        lens_np = np.zeros(B, np.int32)
-        for j, k in enumerate(queue[:B]):
+    def _collect_multi(self, reads, idxs, bucket, out):
+        """Multi-read collection of reads[idxs] (all <= bucket long)
+        through collect_arrays' Q-reads-per-lane path; results land in
+        out[k] as interval dicts.  Returns indices needing host rerun."""
+        n = len(idxs)
+        seq_tm = np.full((bucket, n), 4, np.uint8)
+        lens = np.zeros(n, np.int32)
+        for j, k in enumerate(idxs):
             r = reads[k]
-            seq_np[: len(r), j] = r
-            lens_np[j] = len(r)
-            lane2read[j] = k
-        qpos = min(B, len(queue))
-        seq_dev = jnp.asarray(seq_np)
-        lens_dev = jnp.asarray(lens_np)
-        state = None
+            seq_tm[: len(r), j] = r
+            lens[j] = len(r)
+        with Timer("smem.device_multi"):
+            memc, mem_n, overflow = self.collect_arrays(
+                seq_tm, lens, _count_reads=False
+            )
+        div = intervals_to_dicts(memc, mem_n, n)
         rerun = []
-        MM = min(max(self.params.mem_cap, 8), self.params.max_intv_alloc)
-
-        def plan_harvest(chunk):
-            """Dispatch extract + refill for one fixed quantum of R
-            columns; returns a deferred (extract handle, col->read map)
-            processed AFTER the next segment launches, so the extract
-            D2H and the dict conversion overlap device compute."""
-            nonlocal state, seq_dev, lens_dev, qpos
-            pad_pool = [j for j in range(B) if lane2read[j] < 0]
-            cols = list(chunk) + pad_pool[: R - len(chunk)]
-            # chunk + unassigned lanes always reach R (B >= 8R; a partial
-            # final chunk means every other lane is already retired);
-            # duplicate columns would hit undefined scatter order in the
-            # refill, so fail loudly if the invariant ever breaks
-            assert len(cols) >= R, (len(chunk), len(pad_pool), R)
-            cols = cols[:R]
-            first_slot = {}
-            for j, lane in enumerate(cols):
-                first_slot.setdefault(lane, j)
-            col2read = [
-                int(lane2read[lane]) if first_slot[lane] == j else -1
-                for j, lane in enumerate(cols)
-            ]
-            cols_a = jnp.asarray(np.asarray(cols, np.int32))
-            handle = smem_stream_extract(state, cols_a)  # async dispatch
-            # refill from the queue; duplicate pad slots are inert len-0
-            new_seq = np.full((L, R), 4, np.uint8)
-            new_lens = np.zeros(R, np.int32)
-            for j, lane in enumerate(cols):
-                if first_slot[lane] != j:
-                    continue
-                lane2read[lane] = -1
-                if qpos < len(queue):
-                    k = queue[qpos]
-                    qpos += 1
-                    r = reads[k]
-                    new_seq[: len(r), j] = r
-                    new_lens[j] = len(r)
-                    lane2read[lane] = k
-            state, seq_dev, lens_dev = smem_stream_refill(
-                state, seq_dev, lens_dev, cols_a,
-                jnp.asarray(new_seq), jnp.asarray(new_lens),
-            )
-            return handle, col2read
-
-        def finish_harvest(handle, col2read):
-            got = np.asarray(handle)
-            mem_ns = got[5 * MM]
-            busts = got[5 * MM + 1]
-            div = intervals_to_dicts(
-                got[: 5 * MM].reshape(5, MM, R), np.minimum(mem_ns, MM), R
-            )
-            for j, k in enumerate(col2read):
-                if k < 0:
-                    continue
-                if busts[j] or mem_ns[j] > MM:
-                    rerun.append(k)
-                else:
-                    out[k] = div[j]
-
-        inflight = False
-        while not (qpos >= len(queue) and (lane2read < 0).all()):
-            pending = []
-            if not inflight:
-                state = _segment_jit(
-                    self.idx, seq_dev, lens_dev,
-                    max_iters=max_lane_steps, params=self.params,
-                    seg_state=state, seg_iters=int(cfg.stream_seg_iters),
-                )
-            inflight = False
-            st_host = np.asarray(state["st"])
-            done = [
-                j for j in range(B)
-                if st_host[j] == S_DONE and lane2read[j] >= 0
-            ]
-            drained = qpos >= len(queue)
-            live_left = any(
-                lane2read[j] >= 0 and st_host[j] != S_DONE for j in range(B)
-            )
-            lo = 0
-            while lo + R <= len(done):
-                pending.append(plan_harvest(done[lo : lo + R]))
-                lo += R
-            if drained and not live_left and lo < len(done):
-                pending.append(plan_harvest(done[lo:]))
-            if pending and not (qpos >= len(queue) and (lane2read < 0).all()):
-                # launch the next segment BEFORE fetching extract outputs:
-                # the D2H + dict conversion then overlap device compute
-                state = _segment_jit(
-                    self.idx, seq_dev, lens_dev,
-                    max_iters=max_lane_steps, params=self.params,
-                    seg_state=state, seg_iters=int(cfg.stream_seg_iters),
-                )
-                inflight = True
-            for handle, col2read in pending:
-                finish_harvest(handle, col2read)
-        if state is not None:
-            self.stats["probe_iters"] += int(np.asarray(state["iters"]))
+        for j, k in enumerate(idxs):
+            if overflow[j]:
+                rerun.append(k)
+                self.stats["overflow_reruns"] += 1
+            else:
+                out[k] = div[j]
         return rerun
 
-    def collect_arrays(self, seq_tm: np.ndarray, lens: np.ndarray):
+    def collect_arrays(self, seq_tm: np.ndarray, lens: np.ndarray,
+                       _count_reads: bool = True):
         """Raw-array SMEM collection for device pipelines (no per-interval
         dict conversion): seq_tm (L, B) uint8 codes, lens (B,).
 
@@ -310,22 +188,35 @@ class SmemEngine:
         overflow (B,) bool).  Overflow/bust lanes carry no intervals here;
         callers route those reads through the host path.
 
-        Batches wider than config.batch_size are segmented into
-        batch_size device calls (one jit-cache shape, bounded HBM) and
-        the results re-concatenated.
+        Batches wider than config.batch_size run the MULTI-READ machine:
+        Q = ceil(B / batch_size) reads per lane (capped at
+        config.max_reads_per_lane; wider workloads segment).  Read
+        q*batch + b is lane b's q-th read; outputs are re-densified to
+        the per-read layout here.
         """
         import jax.numpy as jnp
 
-        from acc_genomics_tpu.ops.smem.machine import _collect_jit
-
         B = seq_tm.shape[1]
+        if _count_reads:
+            self.stats["reads"] += B
         seg = max(int(self.config.batch_size), 1)
+        qmax = max(int(getattr(self.config, "max_reads_per_lane", 8)), 1)
+        cap = self.params.max_intv_alloc
         if B > seg:
-            parts = [
-                self.collect_arrays(seq_tm[:, lo : lo + seg],
-                                    lens[lo : lo + seg])
-                for lo in range(0, B, seg)
-            ]
+            # multi-read segments, launch-all-then-drain: every part's
+            # machine + densify dispatch asynchronously before any part
+            # is fetched, so part k's D2H streams over the link while
+            # part k+1 computes (the engine-wide async discipline)
+            step = seg * qmax
+            with Timer("smem.device_multi"):
+                handles = [
+                    self._multi_launch(seq_tm[:, lo : lo + step],
+                                       lens[lo : lo + step], seg)
+                    for lo in range(0, B, step)
+                ]
+                parts = [self._multi_finish(h) for h in handles]
+            if len(parts) == 1:
+                return parts[0]
             used = max(p[0].shape[1] for p in parts)
 
             def padu(m):
@@ -349,8 +240,6 @@ class SmemEngine:
             )
             mem_n, iters = jax.device_get((mem_n, jnp.asarray(iters)))
             self.stats["probe_iters"] += int(iters)
-            self.stats["reads"] += seq_tm.shape[1]
-            cap = self.params.max_intv_alloc
             used = int(min(cap, mem_n.max(initial=0)))
             memc = np.asarray(
                 jnp.stack([m[:used].astype(jnp.int32) for m in mem])
@@ -358,3 +247,87 @@ class SmemEngine:
         overflow = mem_n > cap
         self.stats["overflow_reruns"] += int(overflow.sum())
         return memc, np.minimum(mem_n, cap) * ~overflow, overflow
+
+    def _multi_pack(self, seq_tm, lens, B_lane):
+        """Host-side pool pack for the multi-read machine.
+
+        Pool layout: read id q*B + b -> lane b, slot q (pads trail per
+        lane since ids are monotone in q for fixed b).  The pool is
+        2-bit packed ON HOST (words + N-bitmask planes) — the packed
+        upload is ~2.6x fewer bytes than uint8 (the 33 MB uint8 pool
+        upload measured ~1 s on the dev tunnel) and the machine's
+        per-step seq reads want the packed layout anyway."""
+        L, n = seq_tm.shape
+        L32 = ((L + 31) // 32) * 32  # machine requires L % 32 == 0
+        Q = max(-(-n // B_lane), 1)
+        NB = Q * B_lane
+        seqp = np.full((L32, NB), 4, np.uint8)
+        seqp[:L, :n] = seq_tm
+        lensp = np.zeros(NB, np.int32)
+        lensp[:n] = lens
+        pool = (
+            seqp.reshape(L32, Q, B_lane).transpose(1, 0, 2)
+            .reshape(Q * L32, B_lane)
+        )
+        # 2-bit pack: 16 bases/word MSB-first + 1-bit N mask, 32/word
+        c2 = np.where(pool >= 4, 0, pool).astype(np.uint32)
+        sh16 = (30 - 2 * np.arange(16, dtype=np.uint32))[None, :, None]
+        words = (c2.reshape(-1, 16, B_lane) << sh16).sum(
+            axis=1, dtype=np.uint32
+        )
+        nb = (pool >= 4).astype(np.uint32)
+        sh32 = (31 - np.arange(32, dtype=np.uint32))[None, :, None]
+        nmask = (nb.reshape(-1, 32, B_lane) << sh32).sum(
+            axis=1, dtype=np.uint32
+        )
+        packed = np.concatenate([words, nmask]).view(np.int32)
+        mp = self.params._replace(
+            mem_cap=min(self.params.max_intv_alloc,
+                        self.params.mem_cap + 8 * (Q - 1))
+        )
+        return packed, lensp.reshape(Q, B_lane), Q, mp
+
+    def _multi_launch(self, seq_tm, lens, B_lane):
+        """Pack + upload + async-dispatch one multi-read machine call."""
+        import jax.numpy as jnp
+
+        n = seq_tm.shape[1]
+        packed, lens_q, Q, mp = self._multi_pack(seq_tm, lens, B_lane)
+        mem, mem_n, bnd, bq, iters = _collect_multi_jit(
+            self.idx, jnp.asarray(packed), jnp.asarray(lens_q),
+            params=mp, reads_per_lane=Q,
+        )
+        return dict(mem=mem, mem_n=mem_n, bnd=bnd, bq=bq, iters=iters,
+                    n=n, B=B_lane, Q=Q)
+
+    def _multi_finish(self, h):
+        """Drain one multi-read call: small boundary fetch, device-side
+        densify (machine.smem_densify), one dense fetch."""
+        import jax.numpy as jnp
+
+        from acc_genomics_tpu.ops.smem.machine import smem_densify
+
+        n, B_lane = h["n"], h["B"]
+        bnd, bq, iters = jax.device_get(
+            (h["bnd"], h["bq"], jnp.asarray(h["iters"]))
+        )
+        self.stats["probe_iters"] += int(iters)
+        # per-read boundaries: row q = absolute mem_n after read q
+        # (cummax fills rows of padded/early-parked lanes)
+        bnd = np.maximum.accumulate(bnd.astype(np.int64), axis=0)
+        starts = np.vstack([np.zeros((1, B_lane), np.int64), bnd[:-1]])
+        counts = np.clip(bnd - starts, 0, None) * ~bq
+        sf = starts.reshape(-1)[:n].astype(np.int32)
+        cf = counts.reshape(-1)[:n].astype(np.int32)
+        used = max(int(cf.max(initial=0)), 1)
+        used = ((used + 3) // 4) * 4  # bucket the jit shape
+        d32, d16 = smem_densify(
+            h["mem"], jnp.asarray(sf),
+            jnp.asarray((np.arange(n) % B_lane).astype(np.int32)),
+            jnp.asarray(cf), used=used,
+        )
+        d32, d16 = jax.device_get((d32, d16))
+        memc = np.concatenate([d32, d16.astype(np.int32)])  # (5, used, n)
+        ovf = np.asarray(bq).reshape(-1)[:n]
+        self.stats["overflow_reruns"] += int(ovf.sum())
+        return memc, cf * ~ovf, ovf

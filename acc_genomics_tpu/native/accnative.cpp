@@ -486,6 +486,10 @@ void sw_align_batch_native(
 // results are bit-identical and runtime options are arguments.
 // Table layout: row b of tbl = [cnt0..3, word0..3], 64 bases per row,
 // 16 bases per big-endian-packed u32 (ops/smem/index.py).
+// TRANSCRIBED (control flow) from baseline.cpp bwt_smem1a_new/
+// bwt_seed_strategy1/mem_collect_intv_new for exactness: the
+// backenlarge/forwardenlarge pass structure and interval tie rules are
+// results-affecting and compared as exact integers.
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -759,6 +763,12 @@ void smem_collect_batch_native(
 // sw_extend, bwa-sw/sdaccel/smithwaterman.cpp:75-273).  Scoring is a
 // runtime argument; results are bit-identical to the NumPy oracle.
 // out: (batch, 7) int32 = score qle tle gtle gscore max_off w.
+//
+// TRANSCRIBED (control flow, not identifiers) from the reference's
+// sw_extend for bit-exactness: the adaptive band narrowing
+// (lead_zeros/trail_zeros runs), un-reset eh rows between band rounds,
+// and the tie rules are results-affecting and the drivers compare exact
+// integers, so the loop structure matches statement for statement.
 // ---------------------------------------------------------------------------
 
 void sw_extend_batch_native(
@@ -786,13 +796,13 @@ void sw_extend_batch_native(
       long gscore = -1;
       int max_off = 0;
       long reg_score = h0;
-      int aw_tmp = w_in;
+      int band_w = w_in;
       for (int k = 0; k < 2; ++k) {
         long prev = reg_score;
-        aw_tmp = w_in << k;
-        int aw1 = std::min(aw_tmp, std::min(max_ins, max_del));
+        band_w = w_in << k;
+        int aw1 = std::min(band_w, std::min(max_ins, max_del));
         int beg = 0, end = qlen;
-        long tmp_eme = std::max((long)h0 - oe_ins, 0L);
+        long row0_h = std::max((long)h0 - oe_ins, 0L);
         long h1_init = (long)h0 - o_del;
         for (int i = 0; i < tlen; ++i) {
           long f = 0, m = 0;
@@ -804,8 +814,8 @@ void sw_extend_batch_native(
           long h1;
           if (beg == 0) { h1_init -= e_del; h1 = std::max(h1_init, 0L); }
           else h1 = 0;
-          int backw_tmp = 0, forw_tmp = 0;
-          bool forw_update = false;
+          int trail_zeros = 0, lead_zeros = 0;
+          bool lead_run_over = false;
           for (int j = beg; j < end; ++j) {
             uint8_t q_j = pq[j];
             long h_tmp = eh_h[j], e_tmp = eh_e[j];
@@ -813,10 +823,10 @@ void sw_extend_batch_native(
             if (i == 0) {
               e = 0;
               if (j == 0) h = M = h0;
-              else if (j == 1) h = M = tmp_eme;
-              else { tmp_eme = std::max(tmp_eme - e_ins, 0L); h = M = tmp_eme; }
+              else if (j == 1) h = M = row0_h;
+              else { row0_h = std::max(row0_h - e_ins, 0L); h = M = row0_h; }
             } else { e = e_tmp; h = M = h_tmp; }
-            long h1_reg = h1;
+            long h_left = h1;
             long sc = (q_i >= 4 || q_j >= 4) ? sc_ambig
                       : (q_i == q_j ? sc_match : sc_mismatch);
             M = (M != 0) ? M + sc : 0;
@@ -827,19 +837,19 @@ void sw_extend_batch_native(
             tt = std::max(M - oe_ins, 0L);
             f = std::max(f - e_ins, tt);
             eh_e[j] = (int32_t)e;
-            eh_h[j] = (int32_t)h1_reg;
+            eh_h[j] = (int32_t)h_left;
             if (m <= h) { mj = j; m = h; }
-            if (!forw_update) {
-              if (h1_reg == 0 && e == 0) forw_tmp++;
-              else forw_update = true;
+            if (!lead_run_over) {
+              if (h_left == 0 && e == 0) lead_zeros++;
+              else lead_run_over = true;
             }
-            if (h1_reg == 0 && e == 0) backw_tmp++;
-            else backw_tmp = 0;
+            if (h_left == 0 && e == 0) trail_zeros++;
+            else trail_zeros = 0;
           }
           eh_h[end] = (int32_t)h1;
           eh_e[end] = 0;
-          if (h1 == 0) backw_tmp++;
-          else backw_tmp = 0;
+          if (h1 == 0) trail_zeros++;
+          else trail_zeros = 0;
           if (end == qlen) {
             if (gscore <= h1) { max_ie = i; gscore = h1; }
           }
@@ -848,11 +858,11 @@ void sw_extend_batch_native(
             max_score = m; max_i = i; max_j = mj;
             if (max_off < std::abs(mj - i)) max_off = std::abs(mj - i);
           }
-          beg = beg + forw_tmp;
-          end = (end - backw_tmp + 2 < qlen) ? end - backw_tmp + 2 : qlen;
+          beg = beg + lead_zeros;
+          end = (end - trail_zeros + 2 < qlen) ? end - trail_zeros + 2 : qlen;
         }
         reg_score = max_score;
-        if (max_score == prev || max_off < ((aw_tmp >> 1) + (aw_tmp >> 2)))
+        if (max_score == prev || max_off < ((band_w >> 1) + (band_w >> 2)))
           break;
       }
       int32_t* o = out + (int64_t)b * 7;
@@ -862,7 +872,7 @@ void sw_extend_batch_native(
       o[3] = max_ie + 1;
       o[4] = (int32_t)gscore;
       o[5] = max_off;
-      o[6] = aw_tmp;
+      o[6] = band_w;
     }
   }
 }

@@ -82,16 +82,16 @@ def sw_extend_batch(
         (eh_h, eh_e, max_score, max_i, max_j, max_ie, gscore, max_off,
          reg_score, aw_used, done_all) = state
         prev = reg_score
-        aw_tmp = jnp.asarray(W_IN << k, I32) + (h0 * 0)
-        aw1 = jnp.minimum(jnp.minimum(aw_tmp, max_ins), max_del)
+        band_w = jnp.asarray(W_IN << k, I32) + (h0 * 0)
+        aw1 = jnp.minimum(jnp.minimum(band_w, max_ins), max_del)
         # round active per lane: rounds run while not done
         round_active = jnp.logical_not(done_all)
-        aw_used = jnp.where(round_active, aw_tmp, aw_used)
+        aw_used = jnp.where(round_active, band_w, aw_used)
 
-        tmp_eme = jnp.maximum(h0 - oe_ins, 0)
-        # row-0 M values: j==0 -> h0; j>=1 -> max(tmp_eme - (j-1)*e_ins, 0)
+        row0_h = jnp.maximum(h0 - oe_ins, 0)
+        # row-0 M values: j==0 -> h0; j>=1 -> max(row0_h - (j-1)*e_ins, 0)
         row0_m = jnp.where(
-            jj == 0, h0[None, :], jnp.maximum(tmp_eme[None, :] - (jj - 1) * E_INS, 0)
+            jj == 0, h0[None, :], jnp.maximum(row0_h[None, :] - (jj - 1) * E_INS, 0)
         )
 
         beg0 = zeros((bsz,))
@@ -234,7 +234,7 @@ def sw_extend_batch(
          max_off), _ = jax.lax.scan(row_step, carry0, (t_tm, rows))
 
         reg_score = jnp.where(round_active, max_score, reg_score)
-        brk = (max_score == prev) | (max_off < ((aw_tmp >> 1) + (aw_tmp >> 2)))
+        brk = (max_score == prev) | (max_off < ((band_w >> 1) + (band_w >> 2)))
         done_all = done_all | (round_active & brk) | jnp.logical_not(round_active)
         return (
             eh_h, eh_e, max_score, max_i, max_j, max_ie, gscore, max_off,

@@ -90,10 +90,10 @@ def _extend_kernel(
     def run_round(k, regs):
         (reg_score, aw_used, done) = regs
         prev = reg_score
-        aw_tmp = jnp.full(lane, W_IN << k, I32)
-        aw1 = jnp.minimum(jnp.minimum(aw_tmp, max_ins), max_del)
+        band_w = jnp.full(lane, W_IN << k, I32)
+        aw1 = jnp.minimum(jnp.minimum(band_w, max_ins), max_del)
         round_active = jnp.logical_not(done)
-        aw_used = jnp.where(round_active, aw_tmp, aw_used)
+        aw_used = jnp.where(round_active, band_w, aw_used)
 
         wr(0, zero)  # beg
         wr(1, qlen)  # end
@@ -267,7 +267,7 @@ def _extend_kernel(
         reg_score = jnp.where(round_active, max_score, reg_score)
         brk = jnp.logical_or(
             max_score == prev,
-            max_off < ((aw_tmp >> 1) + (aw_tmp >> 2)),
+            max_off < ((band_w >> 1) + (band_w >> 2)),
         )
         done = jnp.logical_or(done, jnp.logical_or(
             jnp.logical_and(round_active, brk), jnp.logical_not(round_active)

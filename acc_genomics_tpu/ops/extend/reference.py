@@ -77,7 +77,17 @@ def sw_extend_oracle(
     max_del: int | None = None,
     params: ExtendParams = DEFAULT_EXTEND_PARAMS,
 ) -> Dict[str, int]:
-    """One extension in one direction.  query/target are nt4 codes."""
+    """One extension in one direction.  query/target are nt4 codes.
+
+    TRANSCRIBED (control flow, not identifiers) from the reference's
+    sw_extend, bwa-sw/sdaccel/smithwaterman.cpp:75-273, for
+    bit-exactness: the adaptive band narrowing (lead_zeros/trail_zeros
+    runs), the un-reset eh rows between band rounds, and the tie rules
+    are all results-affecting, and the drivers compare exact integers —
+    so the loop structure must match the reference statement for
+    statement.  Variable names are this codebase's; the reference's own
+    names for the band-narrowing registers were forw_tmp/backw_tmp/
+    forw_update/tmp_eme/aw_tmp/h1_reg."""
     O_DEL, E_DEL, O_INS, E_INS = (
         params.o_del, params.e_del, params.o_ins, params.e_ins
     )
@@ -101,16 +111,16 @@ def sw_extend_oracle(
     gscore = -1
     max_off = 0
     reg_score = h0
-    aw_tmp = w
+    band_w = w
 
     k = 0
     is_break = False
     while k < 2 and not is_break:
         prev = reg_score
-        aw_tmp = w << k
-        aw1 = min(aw_tmp, max_ins, max_del)
+        band_w = w << k
+        aw1 = min(band_w, max_ins, max_del)
         beg, end = 0, qlen
-        tmp_eme = max(h0 - oe_ins, 0)
+        row0_h = max(h0 - oe_ins, 0)
         h1_init = h0 - O_DEL
         for i in range(tlen):
             f = 0
@@ -128,9 +138,9 @@ def sw_extend_oracle(
                 h1 = max(h1_init, 0)
             else:
                 h1 = 0
-            backw_tmp = 0
-            forw_tmp = 0
-            forw_update = False
+            trail_zeros = 0
+            lead_zeros = 0
+            lead_run_over = False
             for j in range(beg, end):
                 q_j = query[j]
                 h_tmp = eh_h[j]
@@ -140,14 +150,14 @@ def sw_extend_oracle(
                     if j == 0:
                         h = M = h0
                     elif j == 1:
-                        h = M = tmp_eme
+                        h = M = row0_h
                     else:
-                        tmp_eme = max(tmp_eme - E_INS, 0)
-                        h = M = tmp_eme
+                        row0_h = max(row0_h - E_INS, 0)
+                        h = M = row0_h
                 else:
                     e = e_tmp
                     h = M = h_tmp
-                h1_reg = h1
+                h_left = h1
                 M = (M + MAT[q_i, q_j]) if M != 0 else 0
                 h = max(M, e, f)
                 h1 = h
@@ -156,25 +166,25 @@ def sw_extend_oracle(
                 t = max(M - oe_ins, 0)
                 f = max(f - E_INS, t)
                 eh_e[j] = e
-                eh_h[j] = h1_reg
+                eh_h[j] = h_left
                 if m <= h:
                     mj = j
                     m = h
-                if not forw_update:
-                    if h1_reg == 0 and e == 0:
-                        forw_tmp += 1
+                if not lead_run_over:
+                    if h_left == 0 and e == 0:
+                        lead_zeros += 1
                     else:
-                        forw_update = True
-                if h1_reg == 0 and e == 0:
-                    backw_tmp += 1
+                        lead_run_over = True
+                if h_left == 0 and e == 0:
+                    trail_zeros += 1
                 else:
-                    backw_tmp = 0
+                    trail_zeros = 0
             eh_h[end] = h1
             eh_e[end] = 0
             if h1 == 0:
-                backw_tmp += 1
+                trail_zeros += 1
             else:
-                backw_tmp = 0
+                trail_zeros = 0
             if end == qlen:
                 if gscore <= h1:
                     max_ie = i
@@ -187,11 +197,11 @@ def sw_extend_oracle(
                 max_j = mj
                 if max_off < abs(mj - i):
                     max_off = abs(mj - i)
-            beg = beg + forw_tmp
-            end = end - backw_tmp + 2 if end - backw_tmp + 2 < qlen else qlen
+            beg = beg + lead_zeros
+            end = end - trail_zeros + 2 if end - trail_zeros + 2 < qlen else qlen
 
         reg_score = max_score
-        if max_score == prev or max_off < (aw_tmp >> 1) + (aw_tmp >> 2):
+        if max_score == prev or max_off < (band_w >> 1) + (band_w >> 2):
             is_break = True
         k += 1
 
@@ -202,7 +212,7 @@ def sw_extend_oracle(
         gtle=int(max_ie + 1),
         gscore=int(gscore),
         max_off=int(max_off),
-        w=int(aw_tmp),
+        w=int(band_w),
     )
 
 

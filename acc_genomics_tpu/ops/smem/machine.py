@@ -58,86 +58,107 @@ S_P2_NEXT = 8   # pass-2 driver: re-seed long low-occ SMEMs from midpoints
 S_P3_NEXTX = 9  # pass-3 driver
 S_P3_EXT = 10   # LAST-like strategy extension                   [probe fwd]
 S_DONE = 11
-# unique-interval (s == 1) forward fast path: once pass-1 forward
-# extension reaches a unique interval, x0 is pinned (= ISA[p] for the
-# single occurrence p = SA[x0]) and the remaining extension is a direct
-# text run-comparison — up to 128 bases per probe-slot gather instead of
-# one base per occ probe.  x1 of the break interval is one ISA lookup at
-# 2L - p - len (the revcomp occurrence).  31% of all probes at 100 Mbp
-# run on s==1 intervals (PERF_NOTES), the lever the reference never
-# needed because its per-bank DRAM streams are latency-hidden
-# (smem/device/smem.cpp bwt_manager).
-S_FWD_USA = 12  # fetch SA[x0] -> text offset                    [SA gather]
-S_FWD_U = 13    # text run-compare, >=113 bases/iteration        [text gather]
-S_FWD_UFIN = 14 # fetch ISA[2L-p-len] -> x1, push, to back phase [ISA gather]
-N_STATES = 15
-
-_U_BIG = jnp.int32(2**30)
+N_STATES = 12
+# (A unique-interval s==1 text-comparison fast path and a host-driven
+# streaming-refill machine were built, proven exact, and measured
+# NEGATIVE/neutral at genome scale in round 3 — pruned in round 4 per
+# the verdict; the negative results live in PERF_NOTES.  The step-count
+# lever that replaced them is multi-read lanes: reads_per_lane below.)
 
 
-def device_index_fused(fm: FMIndex, unique_fast: bool = False):
-    """Fused probe table: row b = [cnt0..3, word0..3] (one 32B gather).
+def device_index_fused(fm: FMIndex, occ_rate: int = 64):
+    """Fused probe table, one row gather per occ probe.
 
-    With ``unique_fast``, the SA, ISA, and 2-bit packed text are appended
-    as extra 8-int32 row regions of the SAME table, so the machine's one
-    row gather per iteration serves every state (occ probe, SA/ISA
-    lookup, 128-base text slice); ``uoff`` = [sa_off, isa_off, text_off,
-    seq_len] row offsets."""
+    ``occ_rate`` is the checkpoint interval:
+      64 -> row = [cnt0..3, word0..3] (8 int32, 32 B; matches the
+            FMIndex on-disk blocks) — the DEFAULT.
+      16 -> row = [cnt0..2, word] (4 int32, 16 B): 4th count derived
+            (cnt3 = 16*blk - cnt0 - cnt1 - cnt2), one packed word.
+            TRIED, NEGATIVE (round 4): the isolated gather chain
+            measured -12% for the narrow row, but IN-MACHINE at 100 Mbp
+            it is 2.2x SLOWER (1634 vs 727 us/step) — the width-8
+            gather inside the machine runs ~3x faster than its own
+            microbench while the width-4 one matches it; per-row cost
+            is not the whole story (row count / address-locality
+            effects).  Kept as an option for other table scales.
+    """
     assert fm.seq_len < 2**31
     nblk = fm.bwt_packed.shape[0]
-    tbl = np.empty((nblk, 8), np.int32)
-    tbl[:, :4] = fm.occ_ckpt[:nblk].astype(np.int32)
-    tbl[:, 4:] = fm.bwt_packed.view(np.int32)
-    out = dict(
+    if occ_rate == 64:
+        tbl = np.empty((nblk, 8), np.int32)
+        tbl[:, :4] = fm.occ_ckpt[:nblk].astype(np.int32)
+        tbl[:, 4:] = fm.bwt_packed.view(np.int32)
+    elif occ_rate == 16:
+        n16 = nblk * 4  # four 16-base sub-blocks per stored 64-block
+        words = fm.bwt_packed.reshape(-1)  # (nblk*4,) uint32
+        # cumulative counts at each 16-base boundary: stored 64-ckpt +
+        # popcount prefix of the sub-block words before it
+        tbl = np.empty((n16, 4), np.int32)
+        sub = np.zeros((4, nblk, 3), np.int64)  # prefix counts per base
+        w = fm.bwt_packed  # (nblk, 4) uint32
+        for c in range(3):
+            pat = np.uint32(0x55555555 * c)
+            nx = ~(w ^ pat)
+            y = nx & (nx >> np.uint32(1)) & np.uint32(0x55555555)
+            cnt = np.zeros(w.shape, np.int64)
+            yy = y
+            while yy.any():  # popcount via vectorized bit trick
+                cnt += yy & 1
+                yy = yy >> np.uint32(1)
+            np.cumsum(cnt[:, :3], axis=1, out=sub[1:, :, c].transpose(1, 0))
+        base = fm.occ_ckpt[:nblk, :3].astype(np.int64)  # (nblk, 3)
+        cnts = base[None, :, :] + sub  # (4, nblk, 3)
+        tbl[:, :3] = cnts.transpose(1, 0, 2).reshape(n16, 3).astype(np.int32)
+        tbl[:, 3] = words.view(np.int32)
+    else:
+        raise ValueError(f"occ_rate must be 16 or 64, got {occ_rate}")
+    return dict(
         l2=jnp.asarray(fm.L2.astype(np.int32)),
         primary=jnp.asarray(np.int32(fm.primary)),
+        tbl=jnp.asarray(tbl),
     )
-    if unique_fast:
-        n = fm.seq_len
-
-        def rows8(a):
-            pad = (-len(a)) % 8
-            return np.pad(a, (0, pad)).reshape(-1, 8)
-
-        sa8 = rows8(fm.sa.astype(np.int32))
-        isa = np.empty(n + 1, np.int32)
-        isa[fm.sa] = np.arange(n + 1, dtype=np.int32)
-        isa8 = rows8(isa)
-        # 2-bit packed text, 16 bases/word MSB-first (bwt_packed order),
-        # 8 words = 128 bases per row; one zero pad row keeps the U
-        # fetch of rows (r, r+1) inside the text region
-        tpad = (-n) % 128
-        codes = (
-            np.concatenate([fm.text, np.zeros(tpad, np.uint8)])
-            .astype(np.uint32)
-            .reshape(-1, 16)
-        )
-        shifts = 30 - 2 * np.arange(16, dtype=np.uint32)
-        words = (codes << shifts[None, :]).sum(axis=1, dtype=np.uint32)
-        text8 = np.concatenate(
-            [words.reshape(-1, 8), np.zeros((1, 8), np.uint32)]
-        ).view(np.int32)
-        off_sa = nblk
-        off_isa = off_sa + sa8.shape[0]
-        off_text = off_isa + isa8.shape[0]
-        tbl = np.concatenate([tbl, sa8, isa8, text8], axis=0)
-        out["uoff"] = jnp.asarray(
-            np.array([off_sa, off_isa, off_text, n], np.int32)
-        )
-    out["tbl"] = jnp.asarray(tbl)
-    return out
 
 
-def _occ_pos(primary, k):
+def _occ_rate(tbl):
+    """Checkpoint interval from the (static) table width."""
+    return 64 if tbl.shape[1] == 8 else 16
+
+
+def _occ_pos(primary, k, rate=OCC_INTERVAL):
     """BWT position k -> (probe-table row, in-block offset, valid)."""
     valid = k >= 0
     kk = k - (k >= primary).astype(I32)
     kk = jnp.maximum(kk, 0)
-    return kk // OCC_INTERVAL, kk % OCC_INTERVAL, valid
+    return kk // rate, kk % rate, valid
 
 
-def _occ4_from_row(row, off, valid):
-    """(B, 4) occ counts from a gathered probe row + in-block offset."""
+def _popc2(w, pat, mask):
+    """Count 2-bit groups equal to pat in w & mask (w uint32)."""
+    nx = ~(w ^ pat)
+    y = nx & (nx >> 1) & jnp.uint32(0x55555555)
+    return jax.lax.population_count(y & mask)
+
+
+def _occ4_from_row(row, off, valid, blk=None):
+    """(B, 4) occ counts from a gathered probe row + in-block offset.
+
+    Width-8 rows: [cnt0..3, word0..3] (64-base blocks).  Width-4 rows:
+    [cnt0..2, word] (16-base blocks; cnt3 derived from blk)."""
+    if row.shape[1] == 4:
+        cnt3 = blk * 16 - row[:, 0] - row[:, 1] - row[:, 2]
+        w = jax.lax.bitcast_convert_type(row[:, 3], jnp.uint32)  # (B,)
+        keep = jnp.clip(off + 1, 0, 16)
+        sh = jnp.clip(32 - 2 * keep, 0, 31).astype(jnp.uint32)
+        mask = jnp.where(
+            keep == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) << sh
+        )
+        outs = []
+        for c in range(4):
+            cc = _popc2(w, jnp.uint32(0x55555555 * c), mask).astype(I32)
+            base = cnt3 if c == 3 else row[:, c]
+            outs.append(base + cc)
+        out = jnp.stack(outs, axis=1)
+        return jnp.where(valid[:, None], out, 0)
     cnt = row[:, :4]
     w = jax.lax.bitcast_convert_type(row[:, 4:], jnp.uint32)  # (B, 4)
     m_idx = jnp.arange(4, dtype=I32)[None, :]
@@ -146,10 +167,9 @@ def _occ4_from_row(row, off, valid):
     mask = jnp.where(keep == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) << sh)
     outs = []
     for c in range(4):
-        pat = jnp.uint32(0x55555555 * c)
-        nx = ~(w ^ pat)
-        y = nx & (nx >> 1) & jnp.uint32(0x55555555)
-        cc = jax.lax.population_count(y & mask).sum(axis=1, dtype=jnp.uint32).astype(I32)
+        cc = _popc2(w, jnp.uint32(0x55555555 * c), mask).sum(
+            axis=1, dtype=jnp.uint32
+        ).astype(I32)
         outs.append(cnt[:, c] + cc)
     out = jnp.stack(outs, axis=1)
     return jnp.where(valid[:, None], out, 0)
@@ -157,9 +177,9 @@ def _occ4_from_row(row, off, valid):
 
 def _occ4_batch(tbl, primary, k):
     """(B, 4) counts of each base among the first k+1 BWT rows; k (B,)."""
-    blk, off, valid = _occ_pos(primary, k)
-    row = jnp.take(tbl, blk, axis=0)  # (B, 8) — the 32-byte probe
-    return _occ4_from_row(row, off, valid)
+    blk, off, valid = _occ_pos(primary, k, _occ_rate(tbl))
+    row = jnp.take(tbl, blk, axis=0)  # (B, width) — the one probe
+    return _occ4_from_row(row, off, valid, blk)
 
 
 # When True, the two occ probes per machine iteration (interval head and
@@ -217,34 +237,6 @@ def _extend_batch(idx, x0, x1, s, is_back):
     return _extend_from_occ(xo, xf, s, is_back, tk, tl, l2, primary)
 
 
-def _extend_batch_u(idx, x0, x1, s, is_back, urow_a, urow_b, any_u):
-    """_extend_batch with per-lane probe-row override: lanes flagged
-    ``any_u`` gather (urow_a, urow_b) — SA/ISA/text rows of the unified
-    table — through the SAME fused row gather their occ probe would use.
-    Returns the occ outputs plus the two raw gathered (B, 8) rows (the
-    occ outputs of any_u lanes are garbage; callers mask by state)."""
-    tbl, primary, l2 = idx["tbl"], idx["primary"], idx["l2"]
-    xf = jnp.where(is_back, x0, x1)
-    xo = jnp.where(is_back, x1, x0)
-    ba, oa, va = _occ_pos(primary, xf - 1)
-    bb, ob, vb = _occ_pos(primary, xf - 1 + s)
-    ba = jnp.where(any_u, urow_a, ba)
-    bb = jnp.where(any_u, urow_b, bb)
-    rows = jnp.take(tbl, jnp.concatenate([ba, bb]), axis=0)
-    B = x0.shape[0]
-    row_a, row_b = rows[:B], rows[B:]
-    tk = _occ4_from_row(row_a, oa, va)
-    tl = _occ4_from_row(row_b, ob, vb)
-    o0, o1, oks = _extend_from_occ(xo, xf, s, is_back, tk, tl, l2, primary)
-    return o0, o1, oks, row_a, row_b
-
-
-def _pick8(row, sub):
-    """row (B, 8) int32, sub (B,) in [0, 8) -> (B,) row[b, sub[b]]."""
-    io = jax.lax.broadcasted_iota(I32, row.shape, 1)
-    return jnp.sum(jnp.where(io == sub[:, None], row, 0), axis=1, dtype=I32)
-
-
 def _read_row(buf, row):
     """buf (L, B), row (B,) -> (B,): value at (row[b], b); 0 out of range."""
     io = jax.lax.broadcasted_iota(I32, buf.shape, 0)
@@ -267,7 +259,7 @@ def _pick(c, arr4):
 
 def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
                          params: SmemParams = DEFAULT_SMEM_PARAMS,
-                         seg_state=None, seg_iters=None):
+                         reads_per_lane: int = 1):
     """Batched 3-pass SMEM collection via the flat state machine.
 
     seq_tm: (L, B) int32 read codes (pad 4), time-major; lens: (B,)
@@ -276,20 +268,42 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     mem_n > max_intv_alloc marks unfinished/overflow/bust lanes (host
     rerun contract) and can exceed the carried mem_cap rows.
 
-    Segment mode (``seg_iters`` not None): run at most seg_iters
-    while-iterations of the UNIFIED body (all three passes in one state
-    machine, per-lane step budget instead of the scalar cap) and return
-    the raw carry dict — the streaming engine resumes it, retires DONE
-    lanes, and refills them with queued reads (smem_stream_refill /
-    smem_stream_extract).  ``seg_state`` is the carry from the previous
-    segment (None = fresh batch).
+    Multi-read mode (``reads_per_lane`` = Q > 1): each lane processes Q
+    reads SEQUENTIALLY.  seq_tm is the PRE-PACKED plane
+    (3*Q*L/32, B) int32 — Q*L/16 rows of 2-bit base words (16 bases
+    per word, MSB-first) stacked over Q*L/32 rows of N-bitmask words,
+    packed by the engine host-side (uploading packed planes is ~2.6x
+    fewer bytes than uint8, and seq reads inside the loop cost plane
+    rows, so packed is also cheaper per step).  L must be a multiple of
+    32; lane b's read q occupies bit positions [q*L, q*L+L).  lens is
+    (Q, B).  A lane finishing read q switches to
+    read q+1 in-body (registers reset, outputs keep appending to the
+    lane's mem column; per-read boundaries land in ``bnd``).  The while
+    iteration count is then bound by the max over lanes of the SUM of Q
+    per-read step counts — sums of iid draws concentrate (~1/sqrt(Q)
+    relative spread), so throughput approaches the MEAN per-read cost
+    instead of the batch max (measured: mean 631 vs max 1378 steps at
+    101 bp/100 Mbp — the 54% DONE-wait this mode exists to kill).  This
+    is the TPU-shaped analog of the reference streaming reads through
+    resident PEs (smem/device/smem.cpp input_dup / MAX_TILE_SIZE=16
+    in-flight reads per stage).  Returns (mem x5, mem_n, bnd (Q, B),
+    bustq (Q, B), iters): read (q, b)'s intervals are mem rows
+    [bnd[q-1, b], bnd[q, b]) of lane b (row Q-1 boundary = mem_n);
+    bustq marks per-read host reruns.
     """
+    Q = int(reads_per_lane)
     MIN_SEED_LEN = params.min_seed_len
     SPLIT_LEN = params.split_len
     SPLIT_WIDTH = params.split_width
     MAX_MEM_INTV = params.max_mem_intv
     MAX_OUT = params.max_intv_alloc
-    L, B = seq_tm.shape
+    if Q > 1:
+        R, B = seq_tm.shape
+        QL = R * 32 // 3  # packed rows: QL/16 words + QL/32 nmask
+        L = QL // Q
+        assert 3 * QL == 32 * R and L % 32 == 0 and lens.shape == (Q, B)
+    else:
+        L, B = seq_tm.shape
     # curr/back buffer rows: the while-carry traffic on the (rows, B)
     # interval buffers dominates the per-iteration cost, so they are
     # capped below the worst case (one break interval per base).  Lanes
@@ -300,43 +314,26 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # carrying max_intv_alloc rows multiplies every masked mem write by
     # 4-8x for nothing; lanes that push past the cap -> host rerun
     MM = min(max(params.mem_cap, 8), MAX_OUT)
-    seq_tm = seq_tm.astype(I32)  # hosts upload uint8 (uint8 compute A/B'd neutral)
     if max_iters is None:
         # total probes+transitions per read is bounded by a small multiple
         # of its length per pass; 64x is a generous safety cap
-        max_iters = 64 * L + 4096
+        max_iters = (64 * L + 4096) * Q
 
-    ln = lens.astype(I32)
+    if Q > 1:
+        # per-lane CURRENT read length rides the carry (switch updates
+        # it); lens stays resident as an (Q, B) buffer for the switch
+        lens_q = lens.astype(I32)
+        ln0 = lens_q[0]
+        zb = ln0 * 0
+        QLp = QL
+        seq_words = seq_tm[: QL // 16]
+        seq_nmask = seq_tm[QL // 16 :]
+    else:
+        seq_tm = seq_tm.astype(I32)  # hosts upload uint8 (uint8 compute A/B'd neutral)
+        ln = lens.astype(I32)
+        zb = ln * 0
     # derive all carry zeros from the inputs so they inherit the varying
     # mesh axes under shard_map (carry in/out types must match exactly)
-    zb = ln * 0
-
-    # unique-interval fast path: active when the index carries the
-    # SA/ISA/text regions (device_index_fused(unique_fast=True)).  Reads
-    # containing N skip it (their forward breaks at the N either way);
-    # everything here is closure state built once per trace.
-    HAS_UNI = "uoff" in idx
-    if HAS_UNI:
-        uoff = idx["uoff"]
-        u_sa, u_isa, u_text, u_n = uoff[0], uoff[1], uoff[2], uoff[3]
-        io_l = jax.lax.broadcasted_iota(I32, seq_tm.shape, 0)
-        has_n = jnp.any((seq_tm >= 4) & (io_l < ln[None, :]), axis=0)
-        # 2-bit packed read plane, 16 bases/word MSB-first (text order);
-        # pad rows + 9 zero rows so the 9-word aligned window always
-        # slices in-bounds
-        Lw = (L + 15) // 16
-        lpad = 16 * Lw - L
-        codes = (
-            jnp.concatenate([seq_tm, jnp.full((lpad, B), 4, I32)])
-            if lpad
-            else seq_tm
-        )
-        c2b = jnp.where(codes >= 4, 0, codes).astype(jnp.uint32)
-        rsh = (30 - 2 * jnp.arange(16, dtype=jnp.uint32))[None, :, None]
-        rp = jnp.sum(
-            c2b.reshape(Lw, 16, B) << rsh, axis=1, dtype=jnp.uint32
-        )
-        rp_ext = jnp.concatenate([rp, jnp.zeros((9, B), jnp.uint32)])
     zeros_lb = jnp.zeros((LB, B), I32) + zb[None, :]
     zeros_mm = jnp.zeros((MM, B), I32) + zb[None, :]
     # read positions fit int16 (<= L <= 32767): halving those planes cuts
@@ -344,8 +341,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     zeros_lb16 = zeros_lb.astype(jnp.int16)
     zeros_mm16 = zeros_mm.astype(jnp.int16)
 
+    ln_init = lens_q[0] if Q > 1 else ln
     init = dict(
-        st=jnp.where(ln > 0, S_P1_NEXTX, S_DONE).astype(I32),
+        st=jnp.where(ln_init > 0, S_P1_NEXTX, S_DONE).astype(I32),
         x=zb, i=zb, ic=zb, k=zb, m=zb,
         mode=zb + 1, min_intv=zb + 1,
         p2_k=zb, p2_old_n=zb,
@@ -360,8 +358,12 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm16, mm4=zeros_mm16,
         iters=jnp.max(zb),  # varying scalar under shard_map
     )
-    if HAS_UNI:
-        init["ud"] = zb  # text offset: text pos of read pos j is j + ud
+    if Q > 1:
+        init["ln"] = ln_init          # current read length per lane
+        init["q"] = zb                # current read index per lane
+        init["mem_base"] = zb         # lane's mem_n at current-read start
+        init["bnd"] = zeros_mm16[:1] * 0 + jnp.zeros((Q, B), jnp.int16)
+        init["bq"] = jnp.zeros((Q, B), bool) | (zb > 0)[None, :]
     if STATE_HIST:
         init["hist"] = jnp.zeros((N_STATES,), I32)
         init["live_t"] = zb  # per-lane live (non-DONE) step count
@@ -376,8 +378,28 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
 
     l2 = idx["l2"]
 
-    def seq_at(pos):
-        """seq[pos] per lane; 4 (N / out of range) when pos outside [0, ln)."""
+    def seq_at(pos, s=None):
+        """seq[pos] of the lane's CURRENT read; 4 (N / out of range) when
+        pos outside [0, ln).  Q > 1 reads the packed word + N-bit planes
+        (2-bit extraction; plane cost Q*L/16 + Q*L/32 rows instead of
+        Q*L)."""
+        if Q > 1:
+            pa = jnp.clip(s["q"] * L + pos, 0, QLp - 1)
+            wrow = pa >> 4
+            io = jax.lax.broadcasted_iota(I32, seq_words.shape, 0)
+            w = jnp.sum(
+                jnp.where(io == wrow[None, :], seq_words, 0), axis=0, dtype=I32
+            )
+            code = (w >> (2 * (15 - (pa & 15)))) & 3
+            nrow = pa >> 5
+            io2 = jax.lax.broadcasted_iota(I32, seq_nmask.shape, 0)
+            nw = jnp.sum(
+                jnp.where(io2 == nrow[None, :], seq_nmask, 0), axis=0, dtype=I32
+            )
+            nb = (nw >> (31 - (pa & 31))) & 1
+            return jnp.where(
+                (pos >= 0) & (pos < s["ln"]) & (nb == 0), code, 4
+            )
         io = jax.lax.broadcasted_iota(I32, seq_tm.shape, 0)
         hit = io == jnp.clip(pos, 0, L - 1)[None, :]
         v = jnp.sum(jnp.where(hit, seq_tm, 0), axis=0, dtype=I32)
@@ -401,17 +423,18 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
     # per-lane pass barriers disappear there, which is strictly fewer
     # iterations per lane.
 
-    def _p3_updates(s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz):
+    def _p3_updates(s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1,
+                    isz, lnc):
         """Pass-3 (LAST-like scan) state updates, shared by the split
-        body3 and the unified streaming body.  Returns the mem-push mask
+        body3 and the unified multi-read body.  Returns the mem-push mask
         (the caller owns the mem write so it can merge pushes)."""
         is_p3x = st == S_P3_NEXTX
         is_p3e = st == S_P3_EXT
 
         # ================= S_P3_NEXTX =================
-        p3_done = is_p3x & (s["x"] >= ln)
-        p3_enter = is_p3x & (s["x"] < ln) & rd_is_base
-        p3_step = is_p3x & (s["x"] < ln) & ~rd_is_base
+        p3_done = is_p3x & (s["x"] >= lnc)
+        p3_enter = is_p3x & (s["x"] < lnc) & rd_is_base
+        p3_step = is_p3x & (s["x"] < lnc) & ~rd_is_base
         upd("st", p3_done, jnp.full_like(st, S_DONE))
         upd("st", p3_enter, jnp.full_like(st, S_P3_EXT))
         upd("ik0", p3_enter, ix0)
@@ -421,12 +444,12 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         upd("x", p3_step, s["x"] + 1)
 
         # ================= S_P3_EXT =================
-        p3_out = is_p3e & (s["i"] >= ln)  # exhausted: no seed
-        p3_n = is_p3e & (s["i"] < ln) & ~rd_is_base  # N: stop, x = i+1
-        p3_base = is_p3e & (s["i"] < ln) & rd_is_base
+        p3_out = is_p3e & (s["i"] >= lnc)  # exhausted: no seed
+        p3_n = is_p3e & (s["i"] < lnc) & ~rd_is_base  # N: stop, x = i+1
+        p3_base = is_p3e & (s["i"] < lnc) & rd_is_base
         hit = p3_base & (ocsf < MAX_MEM_INTV) & ((s["i"] - s["x"]) >= MIN_SEED_LEN)
         p3_go = p3_base & ~hit
-        upd("x", p3_out, ln)
+        upd("x", p3_out, lnc)
         upd("x", p3_n | hit, s["i"] + 1)
         upd("st", p3_out | p3_n | hit, jnp.full_like(st, S_P3_NEXTX))
         upd("ik0", p3_go, oc0f)
@@ -435,14 +458,16 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         upd("i", p3_go, s["i"] + 1)
         return hit & (ocsf > 0)
 
-    def make_body12(include_p3=False, lane_cap=None):
+    def make_body12(include_p3=False):
         """smem1a machinery + the pass-1 and pass-2 drivers in ONE loop:
         lanes flow from pass 1 straight into pass 2, so the iteration
         count stays max over lanes of (p1 + p2) steps — a p1/p2 barrier
-        measured 20% slower than this combined form."""
+        measured 20% slower than this combined form.  Multi-read (Q > 1)
+        uses include_p3=True so lanes flow p1 -> p2 -> p3 -> next read."""
 
         def body(s):
             st = s["st"]
+            lnc = s["ln"] if Q > 1 else ln
             is_p1x = st == S_P1_NEXTX
             is_p2 = st == S_P2_NEXT
             is_fwd = st == S_FWD
@@ -480,96 +505,17 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             pos = jnp.where(is_p2, mid, pos)
             if include_p3:
                 pos = jnp.where(st == S_P3_EXT, s["i"], pos)
-            rd = seq_at(pos)
+            rd = seq_at(pos, s)
             rd_is_base = rd < 4
 
             # ---- the one batched probe (bwt_manager analog) ----------------
-            if HAS_UNI:
-                is_usa = st == S_FWD_USA
-                is_ufw = st == S_FWD_U
-                is_ufin = st == S_FWD_UFIN
-                any_u = is_usa | is_ufw | is_ufin
-                # per-state unified-table rows riding the probe's slots:
-                # USA -> SA row of x0; U -> the two text rows covering
-                # [ti, ti+129); UFIN -> ISA row of the revcomp locus
-                ti = s["ud"] + s["i"]
-                uq = u_n - s["ud"] - s["iken"]
-                trow = u_text + (ti >> 7)
-                urow_a = jnp.where(
-                    is_ufw, trow,
-                    jnp.where(is_usa, u_sa + (s["ik0"] >> 3),
-                              u_isa + (uq >> 3)),
-                )
-                urow_b = jnp.where(is_ufw, trow + 1, urow_a)
-                o0, o1, osz, row_a, row_b = _extend_batch_u(
-                    idx, s["ik0"], s["ik1"], s["iks"], is_bck,
-                    urow_a, urow_b, any_u,
-                )
-            else:
-                o0, o1, osz = _extend_batch(
-                    idx, s["ik0"], s["ik1"], s["iks"], is_bck
-                )
+            o0, o1, osz = _extend_batch(
+                idx, s["ik0"], s["ik1"], s["iks"], is_bck
+            )
             # forward states consume complement base, backward the base
             c_fwd = 3 - rd
             oc0f, oc1f, ocsf = _pick(c_fwd, o0), _pick(c_fwd, o1), _pick(c_fwd, osz)
             oc0b, oc1b, ocsb = _pick(rd, o0), _pick(rd, o1), _pick(rd, osz)
-
-            if HAS_UNI:
-                # ---- unique fast path value plane ---------------------------
-                # USA: p = SA[x0] -> ud = p - x (x = pattern start)
-                u_p = _pick8(row_a, s["ik0"] & 7)
-                # UFIN: x1 of the break interval = ISA[2L - p - len]
-                u_x1 = _pick8(row_a, uq & 7)
-                # U: compare reads vs text over an 8-word window anchored
-                # at the fetch word containing ti; text words are already
-                # text-grid aligned, the read side funnel-shifts to match
-                tw = jax.lax.bitcast_convert_type(
-                    jnp.concatenate([row_a, row_b], axis=1), jnp.uint32
-                )  # (B, 16) text words [128r, 128r+256)
-                m0 = (ti >> 4) & 7  # window start word within the fetch
-                twin = jnp.take_along_axis(
-                    tw, m0[:, None] + jnp.arange(8)[None, :], axis=1
-                )  # (B, 8)
-                j0 = s["i"] - (ti & 15)  # read pos of window base 0
-                q0 = j0 >> 4  # arithmetic shift = floor for negatives
-                ridx = jnp.clip(
-                    q0[None, :] + jnp.arange(9, dtype=I32)[:, None],
-                    0, Lw + 8,
-                )
-                rw = jnp.take_along_axis(rp_ext, ridx, axis=0)  # (9, B)
-                c2 = (2 * (j0 & 15)).astype(jnp.uint32)
-                losh = jnp.where(c2 == 0, jnp.uint32(1), 32 - c2)
-                lo = jnp.where(c2 == 0, jnp.uint32(0), rw[1:] >> losh)
-                ar = (rw[:8] << c2) | lo  # read words aligned to text grid
-                mism = ar ^ twin.T  # (8, B); nonzero 2-bit group = mismatch
-                # window word 0 carries ti&15 already-matched bases: mask
-                mlt2 = (2 * (ti & 15)).astype(jnp.uint32)
-                tpsh = jnp.where(mlt2 == 0, jnp.uint32(1), 32 - mlt2)
-                top = jnp.where(
-                    mlt2 == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) << tpsh
-                )
-                # comparison ends at read end or text end (forced mismatch)
-                u_end = jnp.minimum(ln, u_n - s["ud"])
-                fbig = jnp.full_like(zb, _U_BIG)
-                f = fbig
-                for w in range(8):
-                    mw = mism[w]
-                    if w == 0:
-                        mw = mw & ~top
-                    te = jnp.clip(u_end - (j0 + 16 * w), 0, 16)
-                    bsh = (2 * te).astype(jnp.uint32)
-                    bot = jnp.where(
-                        te >= 16, jnp.uint32(0),
-                        jnp.uint32(0xFFFFFFFF) >> bsh,
-                    )
-                    mw = mw | bot
-                    posw = (
-                        j0 + 16 * w
-                        + (jax.lax.clz(mw) >> 1).astype(I32)
-                    )
-                    f = jnp.minimum(f, jnp.where(mw != 0, posw, fbig))
-                u_found = f < _U_BIG
-                u_adv = jnp.where(u_found, f, j0 + 128)
 
             n = dict(s)
             n["iters"] = s["iters"] + 1
@@ -611,13 +557,15 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             )
 
             # ================= S_P1_NEXTX =================
-            p1_done = is_p1x & (s["x"] >= ln)
-            p1_enter = is_p1x & (s["x"] < ln) & rd_is_base
-            p1_step = is_p1x & (s["x"] < ln) & ~rd_is_base
-            # -> pass-2 driver init
+            p1_done = is_p1x & (s["x"] >= lnc)
+            p1_enter = is_p1x & (s["x"] < lnc) & rd_is_base
+            p1_step = is_p1x & (s["x"] < lnc) & ~rd_is_base
+            # -> pass-2 driver init: scan starts at the CURRENT read's
+            # first mem row (0 for Q == 1; the lane's mem_base in
+            # multi-read mode, where mem_n accumulates across reads)
             upd("st", p1_done, jnp.full_like(st, S_P2_NEXT))
             upd("p2_old_n", p1_done, s["mem_n"])
-            upd("p2_k", p1_done, zb)
+            upd("p2_k", p1_done, s["mem_base"] if Q > 1 else zb)
             # -> enter smem1a at x (min_intv=1, mode=1): init FWD
             enter_any = p1_enter
             upd("st", p1_enter, jnp.full_like(st, S_FWD))
@@ -667,21 +615,16 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("stop", enter_any, new_x)
 
             # ================= S_FWD =================
-            fwd_end = is_fwd & ((s["i"] >= ln) | ~rd_is_base)  # exhausted or N
-            fwd_ext = is_fwd & (s["i"] < ln) & rd_is_base
+            fwd_end = is_fwd & ((s["i"] >= lnc) | ~rd_is_base)  # exhausted or N
+            fwd_ext = is_fwd & (s["i"] < lnc) & rd_is_base
             changed = ocsf != s["iks"]
             fwd_brk = fwd_ext & changed & (ocsf < s["min_intv"])
             fwd_go = fwd_ext & ~fwd_brk
             # pushes: at end/N push current ik; on change push current ik
-            # too.  UFIN's break-interval push (always s == 1, x1 from the
-            # ISA lookup) merges into the same masked write.
-            push_mask = fwd_end | (fwd_ext & changed)
-            pv1, pv2 = s["ik1"], s["iks"]
-            if HAS_UNI:
-                push_mask = push_mask | is_ufin
-                pv1 = jnp.where(is_ufin, u_x1, pv1)
-                pv2 = jnp.where(is_ufin, jnp.ones_like(zb), pv2)
-            push_curr(push_mask, s["ik0"], pv1, pv2, s["iken"])
+            push_curr(
+                fwd_end | (fwd_ext & changed),
+                s["ik0"], s["ik1"], s["iks"], s["iken"],
+            )
             # advance ik on non-break extension
             upd("ik0", fwd_go, oc0f)
             upd("ik1", fwd_go, oc1f)
@@ -690,32 +633,9 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("i", fwd_go, s["i"] + 1)
             # to backward phase
             to_back = fwd_end | fwd_brk
-            if HAS_UNI:
-                to_back = to_back | is_ufin
             upd("st", to_back, jnp.full_like(st, S_BSTART))
             upd("ic", to_back, zb)
             # start/stop already x from entry init
-
-            if HAS_UNI:
-                # ======== S_FWD -> unique fast path handoff ========
-                # a successful pass-1 extension landing on s == 1 (and an
-                # N-free read) switches to text comparison; x0 is pinned
-                # from here to the break
-                u_enter = fwd_go & (ocsf == 1) & (s["min_intv"] == 1) & ~has_n
-                upd("st", u_enter, jnp.full_like(st, S_FWD_USA))
-                # ================= S_FWD_USA =================
-                upd("ud", is_usa, u_p - s["x"])
-                upd("st", is_usa, jnp.full_like(st, S_FWD_U))
-                # ================= S_FWD_U =================
-                # all bases in [i, u_adv) matched; a found break f becomes
-                # the interval end (== fwd_end/fwd_brk at position f)
-                upd("iken", is_ufw, u_adv)
-                upd("i", is_ufw, u_adv)
-                upd(
-                    "st", is_ufw & u_found,
-                    jnp.full_like(st, S_FWD_UFIN),
-                )
-                # not found (reads longer than the window): stay S_FWD_U
 
             # ================= S_BSTART =================
             use_back = (s["back_n"] == 0) | (s["stop"] - s["start"] >= 3)
@@ -761,7 +681,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             # ================= S_BACK_POST =================
             # start = curr[ic].end (== iken); stop = curr[ic+1].end or ln
             upd("start", is_bpo, s["iken"])
-            upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, ln))
+            upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, lnc))
             t_len = s["t4"] - s["t3"]
             bpo_push = is_bpo & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
             # (mem pushes from all states merge into one masked write below)
@@ -832,9 +752,10 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("st", skp_exit, jnp.full_like(st, S_BSTART))
 
             if include_p3:
-                # ---- pass-3 states live in the same body (streaming) ----
+                # ---- pass-3 states live in the same body (multi-read) ----
                 p3_push = _p3_updates(
-                    s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz
+                    s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1,
+                    isz, lnc
                 )
 
             # ---- merged mem push ------------------------------------------
@@ -853,14 +774,35 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             else:
                 push_mem(push_t, s["t0"], s["t1"], s["t2"], s["t3"], s["t4"])
 
-            if lane_cap is not None:
-                # per-lane step budget (streaming: lanes start at
-                # different times, the scalar iters cap can't apply):
-                # capped live lanes are forced DONE + bust -> host rerun
-                n["lsteps"] = s["lsteps"] + (st != S_DONE).astype(I32)
-                capped = (n["st"] != S_DONE) & (n["lsteps"] >= lane_cap)
-                n["bust"] = n["bust"] | capped
-                n["st"] = jnp.where(capped, jnp.int32(S_DONE), n["st"])
+            if Q > 1:
+                # ---- read switch: pass-3 exhausted -> next read ----------
+                # _p3_updates parked the lane at S_DONE; lanes with reads
+                # left override to a fresh S_P1_NEXTX with registers reset
+                # (pads only ever trail, so a zero next_len means the lane
+                # is truly finished).  The read boundary (absolute mem_n)
+                # and per-read bust flag land in bnd/bq at row q; the
+                # engine slices read (q, b)'s intervals from the lane's
+                # column by these boundaries.
+                fin = (st == S_P3_NEXTX) & (s["x"] >= lnc)  # p3_done
+                next_len = _read_row(lens_q, s["q"] + 1)
+                switch = fin & (s["q"] < Q - 1) & (next_len > 0)
+                n["bnd"] = _write_row(n["bnd"], s["q"], s["mem_n"], fin)
+                n["bq"] = _write_row(
+                    n["bq"], s["q"], s["bust"], fin
+                ).astype(bool)
+                upd("st", switch, jnp.full_like(st, S_P1_NEXTX))
+                for key in ("x", "i", "ic", "k", "m", "p2_k", "p2_old_n",
+                            "curr_n", "back_n", "start", "stop", "ret",
+                            "ik0", "ik1", "iks", "ikst", "iken",
+                            "t0", "t1", "t2", "t3", "t4"):
+                    upd(key, switch, zb)
+                upd("mode", switch, zb + 1)
+                upd("min_intv", switch, zb + 1)
+                upd("skip_first", switch, zb > 0)
+                upd("bust", switch, zb > 0)
+                upd("mem_base", switch, s["mem_n"])
+                upd("q", switch, s["q"] + 1)
+                upd("ln", switch, next_len)
 
             return n
 
@@ -899,7 +841,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         )
 
         push = _p3_updates(
-            s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz
+            s, upd, st, rd_is_base, oc0f, oc1f, ocsf, ix0, ix1, isz, ln
         )
 
         # mem push (pass 3 pushes the fresh extension, not the temp regs)
@@ -938,25 +880,23 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             return s
         return body_u
 
-    # ---- streaming segment mode ---------------------------------------
-    if seg_iters is not None:
-        if seg_state is None:
-            state = dict(init, lsteps=zb, seg=jnp.int32(0))
-        else:
-            state = dict(seg_state, seg=jnp.int32(0))
-        body_all = unrolled(
-            make_body12(include_p3=True, lane_cap=max_iters)
+    # ---- multi-read mode: ONE unified loop, all passes x Q reads ------
+    if Q > 1:
+        f = jax.lax.while_loop(
+            cond, unrolled(make_body12(include_p3=True)), init
         )
-
-        def body_seg(s):
-            s = body_all(s)
-            s["seg"] = s["seg"] + 1
-            return s
-
-        def cond_seg(s):
-            return jnp.any(s["st"] != S_DONE) & (s["seg"] < seg_iters)
-
-        return jax.lax.while_loop(cond_seg, body_seg, state)
+        # lanes still live at the safety cap: every read from the lane's
+        # current q on is unfinished -> flag for host rerun
+        unf = (f["st"] != S_DONE) | f["bust"]
+        ioq = jax.lax.broadcasted_iota(I32, (Q, B), 0)
+        bq = f["bq"] | (unf[None, :] & (ioq >= f["q"][None, :]))
+        out = (
+            (f["mm0"], f["mm1"], f["mm2"], f["mm3"], f["mm4"]),
+            f["mem_n"], f["bnd"], bq, f["iters"],
+        )
+        if STATE_HIST:
+            out = out + (f["hist"], f["live_t"])
+        return out
 
     # ---- passes 1 + 2 (combined loop; lanes flow p1 -> p2) ------------
     f2 = jax.lax.while_loop(cond, unrolled(make_body12()), init)
@@ -996,80 +936,37 @@ _collect_jit = jax.jit(
     smem_collect_machine, static_argnames=("max_iters", "params")
 )
 
-# streaming segment: donate the carry (it is rebuilt every call); the
-# index and the seq/lens planes are reused across segments
-_segment_jit = jax.jit(
+# multi-read entry: Q reads per lane, unified body (see the docstring)
+_collect_multi_jit = jax.jit(
     smem_collect_machine,
-    static_argnames=("max_iters", "params", "seg_iters"),
-    donate_argnames=("seg_state",),
+    static_argnames=("max_iters", "params", "reads_per_lane"),
 )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def smem_stream_refill(state, seq_tm, lens, cols, new_seq, new_lens):
-    """Scatter ``new_seq``/``new_lens`` into lanes ``cols`` (distinct)
-    and reset those lanes' machine state to the fresh-read init (len 0
-    lanes park at S_DONE).  Donates state/seq/lens; returns the updated
-    triple.  cols has a FIXED size per jit cache entry — the engine pads
-    with already-retired lanes.
+@functools.partial(jax.jit, static_argnames=("used",))
+def smem_densify(mem, starts, cols, counts, used: int):
+    """Device-side re-densification of multi-read outputs: per-read
+    interval rows gathered out of the lane-accumulated mem planes, so
+    the host fetches only used*n dense elements instead of the raw
+    (mem_cap, B) planes plus a host-side fancy gather (which measured
+    1.8 s D2H + 1.2 s numpy per 262K reads on the dev tunnel).
 
-    Only seq and two (B,)-sized planes are scattered; every state reset
-    is a constant, so it goes through a where() on the scattered lane
-    mask instead (40 per-array TPU scatters measured ~0.5 s per refill;
-    the mask form is ~ms)."""
-    B = lens.shape[0]
-    seq_tm = seq_tm.at[:, cols].set(new_seq.astype(seq_tm.dtype))
-    lens = lens.at[cols].set(new_lens.astype(lens.dtype))
-    mask = jnp.zeros((B,), jnp.bool_).at[cols].set(True)
-    nl = jnp.zeros((B,), I32).at[cols].set(new_lens.astype(I32))
-    n = dict(state)
+    mem: 5 planes (MM, B); starts/cols/counts: (n,) row start, lane
+    column, interval count per read; used: static row cap (>= max
+    count, bucketed by the engine to bound jit shapes).
+    Returns (d32 (3, used, n) int32 [x0,x1,s], d16 (2, used, n) int16
+    [start,end]); rows past a read's count are zeroed."""
+    n = starts.shape[0]
+    jj = jax.lax.broadcasted_iota(I32, (used, n), 0)
+    rows = jnp.clip(starts[None, :] + jj, 0, mem[0].shape[0] - 1)
+    live = jj < counts[None, :]
 
-    def reset(key, const):
-        v = state[key]
-        cst = jnp.asarray(const, v.dtype)
-        m = mask if v.ndim == 1 else mask[None, :]
-        n[key] = jnp.where(m, cst, v)
+    def g(m):
+        return jnp.where(live, m[rows, cols[None, :]], 0)
 
-    for k in (
-        "x", "i", "ic", "k", "m", "p2_k", "p2_old_n", "curr_n", "back_n",
-        "mem_n", "start", "stop", "ret", "ik0", "ik1", "iks", "ikst",
-        "iken", "t0", "t1", "t2", "t3", "t4", "lsteps",
-    ):
-        reset(k, 0)
-    if "ud" in state:
-        reset("ud", 0)
-    reset("mode", 1)
-    reset("min_intv", 1)
-    for k in ("skip_first", "bust"):
-        reset(k, False)
-    for k in (
-        "cu0", "cu1", "cu2", "cu3", "bk0", "bk1", "bk2", "bk3", "bk4",
-        "mm0", "mm1", "mm2", "mm3", "mm4",
-    ):
-        reset(k, 0)
-    n["st"] = jnp.where(
-        mask,
-        jnp.where(nl > 0, jnp.int32(S_P1_NEXTX), jnp.int32(S_DONE)),
-        state["st"],
-    )
-    return n, seq_tm, lens
-
-
-@jax.jit
-def smem_stream_extract(state, cols):
-    """Retired lanes' outputs as ONE array (one D2H round trip on the
-    dev tunnel): rows [0..5*MM) = the five interval planes stacked,
-    row 5*MM = mem_n, row 5*MM+1 = bust."""
-    mm = [
-        state[k][:, cols].astype(jnp.int32)
-        for k in ("mm0", "mm1", "mm2", "mm3", "mm4")
-    ]
-    return jnp.concatenate(
-        [jnp.concatenate(mm, axis=0),
-         state["mem_n"][cols][None],
-         state["bust"][cols].astype(I32)[None]]
-    )
-
+    d32 = jnp.stack([g(mem[0]), g(mem[1]), g(mem[2])]).astype(I32)
+    d16 = jnp.stack([g(mem[3]), g(mem[4])]).astype(jnp.int16)
+    return d32, d16
 
 _IV_KEYS = ("x0", "x1", "s", "start", "end")
 

@@ -6,11 +6,11 @@ i64x4 — identical bits, different HBM dtype/shape); the sweep concluded
 NEGATIVE (f32x8 bitcast identical, i64x4 slower, padded 64-B rows
 slower — PERF_NOTES "SMEM round-3 findings") and the layout knob was
 removed.  What remains is the useful core: time the machine loop on a
-cached index, optionally with the unique_fast (s==1 shortcut) index
+cached index
 regions, and report reads/s + step cost.
 
   python benchmarks/smem_layout_ab.py [--npz data/chr100m.fm.npz]
-      [--reads 65536] [--unique-fast]
+      [--reads 65536]
 """
 
 import argparse
@@ -34,8 +34,6 @@ def main():
     ap.add_argument("--npz", default="data/chr100m.fm.npz")
     ap.add_argument("--reads", type=int, default=65536)
     ap.add_argument("--read-len", type=int, default=101)
-    ap.add_argument("--unique-fast", action="store_true",
-                    help="append the SA/ISA/text regions (s==1 shortcut)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -53,7 +51,7 @@ def main():
     seq_tm_j = jnp.asarray(seq_tm)
     lens_j = jnp.asarray(lens)
 
-    idx = device_index_fused(fm, unique_fast=args.unique_fast)
+    idx = device_index_fused(fm)
     mem, mem_n, iters = _collect_jit(idx, seq_tm_j, lens_j)  # warm/compile
     np.asarray(mem_n)
     reps, best = 3, 1e9
@@ -64,7 +62,7 @@ def main():
         best = min(best, time.time() - t0)
     it = int(np.asarray(iters))
     print(
-        f"unique_fast={args.unique_fast}: {B/best:.0f} reads/s, "
+        f"machine: {B/best:.0f} reads/s, "
         f"{best*1e3:.0f} ms/batch, {it} steps, {best/it*1e6:.0f} us/step"
     )
 

@@ -163,50 +163,71 @@ def test_repeat_heavy_genome_default_caps(rng):
         assert _canon(g) == _canon(mem_collect_intv_oracle(fm, r))
 
 
-def test_machine_unique_fast_exact(rng):
-    """unique_fast index (SA/ISA/text regions + s==1 text-comparison
-    states) is bit-exact vs the oracle and vs the plain machine,
-    including N reads, text-boundary reads, and short reads."""
-    from acc_genomics_tpu.ops.smem.machine import device_index_fused
-
-    genome = gen_reference_with_repeats(rng, 3000)
-    fm = FMIndex.build(genome)
-    reads = gen_smem_reads(rng, genome, 10, read_len=80)
-    reads[0][40] = 4                      # N mid-read (fast path bypassed)
-    reads[1] = genome[:80].copy()         # text start
-    reads[2] = genome[-80:].copy()        # text end (revcomp half boundary)
-    reads.append(genome[:22].copy())      # short
-    idx_u = device_index_fused(fm, unique_fast=True)
-    got_u, ovf_u, it_u = smem_batch_machine(idx_u, reads, seq_len=96)
-    got_p, ovf_p, it_p = smem_batch_machine(fm, reads, seq_len=96)
-    assert list(ovf_u) == list(ovf_p)
-    for k, r in enumerate(reads):
-        if ovf_u[k]:
-            continue
-        want = _canon(mem_collect_intv_oracle(fm, r))
-        assert _canon(got_u[k]) == want, k
-        assert _canon(got_p[k]) == want, k
-
-
-def test_stream_refill_engine_exact(rng):
-    """Streaming machine (unified all-pass body, fixed-iteration
-    segments, lane retirement + refill in fixed quanta) is exact vs the
-    oracle across many refill cycles, including N reads, short reads,
-    all-N reads, and overflow -> host reruns."""
+def test_multiread_machine_exact(rng):
+    """Multi-read machine (Q reads per lane, in-body switching, per-read
+    bnd boundaries) is exact vs the oracle, including N reads, short
+    reads, all-N reads, mixed lengths, and trailing pads."""
     from acc_genomics_tpu.config import SmemConfig
     from acc_genomics_tpu.engine.smem_engine import SmemEngine
 
     genome = gen_reference_with_repeats(rng, 4000)
     fm = FMIndex.build(genome)
-    cfg = SmemConfig(
-        batch_size=8, stream_seg_iters=5, read_buckets=(96,), seq_length=96,
-        stream_refill=True,  # the default is off; this test IS the stream
-    )
-    eng = SmemEngine(fm, cfg)
     reads = gen_smem_reads(rng, genome, 37, read_len=80)
-    reads[0][33] = 4
-    reads[5] = reads[5][:25].copy()
-    reads.append(np.full(30, 4, np.uint8))
+    reads[0][33] = 4                         # N mid-read
+    reads[5] = reads[5][:25].copy()          # short
+    reads[9] = genome[:80].copy()            # text start
+    reads[10] = genome[-80:].copy()          # text end (revcomp boundary)
+    reads.append(np.full(30, 4, np.uint8))   # all N
+    # batch_size 8 -> Q = ceil(38/8) = 5 reads per lane, 2 pad reads
+    cfg = SmemConfig(batch_size=8, read_buckets=(96,), seq_length=96)
+    eng = SmemEngine(fm, cfg)
     got = eng.collect(reads)
     for k, r in enumerate(reads):
         assert _canon(got[k]) == _canon(mem_collect_intv_oracle(fm, r)), k
+
+
+def test_multiread_busts_rerun_per_read(rng):
+    """A read whose chains bust the caps inside a multi-read lane flags
+    ONLY that read for host rerun; the lane's other reads stay device-
+    exact, and the engine restores full parity."""
+    from acc_genomics_tpu.config import SmemConfig
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+
+    motif = rng.integers(0, 4, 8).astype(np.uint8)
+    genome = np.tile(motif, 1500)  # tandem repeat: wide chains
+    mut = rng.random(len(genome)) < 0.02
+    genome[mut] = (genome[mut] + rng.integers(1, 4, mut.sum())) % 4
+    fm = FMIndex.build(genome)
+    reads = gen_smem_reads(rng, genome, 18, read_len=90, error_rate=0.01)
+    cfg = SmemConfig(batch_size=4, read_buckets=(96,), seq_length=96)
+    eng = SmemEngine(fm, cfg)
+    out = eng.collect(reads)
+    for k, r in enumerate(reads):
+        assert _canon(out[k]) == _canon(mem_collect_intv_oracle(fm, r)), k
+
+
+def test_multiread_collect_arrays_matches_oneshot(rng):
+    """collect_arrays' multi-read path returns the same per-read interval
+    sets as one-shot single-batch calls (dense layout re-check)."""
+    from acc_genomics_tpu.config import SmemConfig
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+
+    genome = gen_reference_with_repeats(rng, 3000)
+    fm = FMIndex.build(genome)
+    n = 26
+    reads = gen_smem_reads(rng, genome, n, read_len=70)
+    seq = np.full((96, n), 4, np.uint8)
+    lens = np.zeros(n, np.int32)
+    for k, r in enumerate(reads):
+        seq[: len(r), k] = r
+        lens[k] = len(r)
+    one = SmemEngine(fm, SmemConfig(batch_size=64, seq_length=96))
+    multi = SmemEngine(fm, SmemConfig(batch_size=8, seq_length=96))
+    m1, n1, o1 = one.collect_arrays(seq, lens)
+    m2, n2, o2 = multi.collect_arrays(seq, lens)
+    for k in range(n):
+        if o1[k] or o2[k]:
+            continue
+        a = sorted(tuple(m1[:, j, k]) for j in range(n1[k]))
+        b = sorted(tuple(m2[:, j, k]) for j in range(n2[k]))
+        assert a == b, k
