@@ -18,6 +18,7 @@ geometry; the first call on a new shape pays one compile.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
@@ -36,6 +37,92 @@ from acc_genomics_tpu.ops.pairhmm.kernel import (
 from acc_genomics_tpu.ops.pairhmm.pack import pack_pairhmm_batch
 from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_oracle
 from acc_genomics_tpu.utils.timer import Timer
+
+
+@dataclasses.dataclass
+class DispatchCostModel:
+    """Calibrated host-vs-device dispatch gate — the worthFPGA analog
+    (/root/reference/pairhmm/xlnx/host/FalconPairHMM.cpp:112-139, which
+    compares measured AVX time against PCIe + prep + compute + recompute
+    with live constants).  Predicted times:
+
+        host_s(cells)          = cells / (host_gcups * cores)
+        device_s(cells, bytes) = fixed_s + cells / device_gcups
+                                         + bytes / link_gb_s
+
+    The constants are exactly what benchmarks/pairhmm_e2e_bench.py
+    measures (pack/host rate, chained device rate, sustained link rate);
+    :meth:`from_e2e_bench` ingests its result dict, :meth:`calibrate`
+    micro-measures host + link in ~100 ms.  Defaults are conservative
+    dev-tunnel figures (PERF_NOTES round 3) — on a PCIe host, calibrate:
+    fixed_s drops ~50x and the crossover falls from ~20M to ~0.5M cells.
+    """
+
+    host_gcups: float = 0.35   # native 1-core forward rate
+    device_gcups: float = 55.0  # chained-kernel rate (bench_pairhmm)
+    link_gb_s: float = 0.05    # sustained H2D (dev tunnel; PCIe ~12)
+    fixed_s: float = 0.06      # dispatch + sync RTTs per engine call
+    cores: int = 1
+
+    def host_s(self, cells: int) -> float:
+        return cells / (self.host_gcups * max(self.cores, 1)) / 1e9
+
+    def device_s(self, cells: int, nbytes: int) -> float:
+        return (
+            self.fixed_s
+            + cells / self.device_gcups / 1e9
+            + nbytes / (self.link_gb_s * 1e9)
+        )
+
+    def device_worthwhile(self, cells: int, nbytes: int) -> bool:
+        return self.device_s(cells, nbytes) < self.host_s(cells)
+
+    @classmethod
+    def from_e2e_bench(cls, res: dict, cores: Optional[int] = None) -> "DispatchCostModel":
+        """Build from benchmarks/pairhmm_e2e_bench.run()'s result dict."""
+        import os
+
+        cells = res["cells"] / max(res.get("n_batches", 8), 1)
+        link_gcups = res["link_gcups"]
+        # link_gcups = cells/batch per link-second at ~44 cells/byte
+        link_gb_s = link_gcups * 1e9 / 44 / 1e9
+        return cls(
+            host_gcups=max(res.get("host_gcups", 0.35), 1e-3),
+            device_gcups=res["device_gcups"],
+            link_gb_s=max(link_gb_s, 1e-4),
+            fixed_s=max(res.get("single_batch_latency_s", 0.06)
+                        - cells / res["device_gcups"] / 1e9, 1e-3),
+            cores=cores or os.cpu_count() or 1,
+        )
+
+    def calibrate(self, device=None) -> "DispatchCostModel":
+        """Micro-measure host rate and link rate on THIS host (one ~64
+        pair native run + one device_put); device_gcups stays as set."""
+        import time
+
+        from acc_genomics_tpu import native
+        from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+
+        rng = np.random.default_rng(0)
+        tcs = gen_pairhmm_pairs(rng, 64, max_read_len=120, max_hap_len=300)
+        cells = sum(len(t["rs"]) * len(t["hap"]) for t in tcs)
+        host = self.host_gcups
+        if native.pairhmm_forward(tcs, np.float32) is not None:  # warm
+            t0 = time.perf_counter()
+            native.pairhmm_forward(tcs, np.float32)
+            host = cells / (time.perf_counter() - t0) / 1e9
+        buf = np.zeros(4 << 20, np.uint8)
+        dev = device or jax.devices()[0]
+        jax.device_put(buf, dev).block_until_ready()
+        t0 = time.perf_counter()
+        jax.device_put(buf, dev).block_until_ready()
+        dt = time.perf_counter() - t0
+        import os
+
+        return dataclasses.replace(
+            self, host_gcups=host, link_gb_s=max(buf.size / dt / 1e9, 1e-4),
+            cores=os.cpu_count() or 1,
+        )
 
 
 class PairHMMEngine:
@@ -57,15 +144,34 @@ class PairHMMEngine:
         self.mesh = mesh
         self._data_size = int(mesh.shape["data"]) if mesh is not None else 1
         self.ctx32 = PairHMMContext(np.float32)
-        # cost-model threshold: below this many cells the accelerator
-        # round-trip is not worth it (worthFPGA analog)
+        # dispatch gate (worthFPGA analog).  Two tiers: the static cell
+        # threshold (always on, zero-cost), and — when a calibrated
+        # DispatchCostModel is installed via set_cost_model()/
+        # calibrate_dispatch() — the full predicted-time comparison with
+        # live constants, matching FalconPairHMM.cpp:112-139.
         self.min_device_cells = 2_000_000
+        self.cost_model: Optional[DispatchCostModel] = None
         self.stats = {"pairs": 0, "recomputed": 0, "cells": 0, "device_calls": 0}
         # device-resident lookup tables for the byte-plane upload path
         # (uploaded once; coefficient planes are computed on device)
         self._tables = None
         # tests set this to run the Pallas path in interpret mode on CPU
         self._interpret = False
+
+    # -- dispatch calibration ---------------------------------------------
+
+    def set_cost_model(self, model: Optional[DispatchCostModel]):
+        """Install (or clear) the calibrated dispatch gate."""
+        self.cost_model = model
+
+    def calibrate_dispatch(self, device_gcups: Optional[float] = None):
+        """Micro-measure host + link constants on this host and install
+        the calibrated gate (DispatchCostModel.calibrate); ~100 ms."""
+        base = DispatchCostModel(
+            device_gcups=device_gcups or DispatchCostModel.device_gcups
+        )
+        self.cost_model = base.calibrate(self.device)
+        return self.cost_model
 
     # -- core ------------------------------------------------------------
 
@@ -167,9 +273,20 @@ class PairHMMEngine:
 
         # worthFPGA-analog cost gate (FalconPairHMM.cpp:112-139): tiny
         # workloads skip the accelerator round trip and run on the native
-        # C++ host engine (the reference's AVX-path role)
+        # C++ host engine (the reference's AVX-path role).  With a
+        # calibrated cost model the gate compares PREDICTED times
+        # (host cells/rate vs fixed + compute + upload) — see
+        # DispatchCostModel; otherwise the static cell threshold applies.
         total_cells = sum(r * h for r, h in zip(read_lens, hap_lens))
-        if total_cells < self.min_device_cells:
+        if self.cost_model is not None:
+            # quals upload ships 5 byte planes per read + 1 per hap
+            est_bytes = 5 * sum(read_lens) + sum(hap_lens) + 12 * n
+            use_host = not self.cost_model.device_worthwhile(
+                total_cells, est_bytes
+            )
+        else:
+            use_host = total_cells < self.min_device_cells
+        if use_host:
             from acc_genomics_tpu import native
 
             host = native.pairhmm_forward(testcases, np.float32)

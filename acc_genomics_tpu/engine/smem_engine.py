@@ -281,9 +281,14 @@ class SmemEngine:
             axis=1, dtype=np.uint32
         )
         packed = np.concatenate([words, nmask]).view(np.int32)
+        # lane output rows must hold Q reads' intervals: measured lane
+        # totals at 101 bp/100 Mbp are ~6.2/read mean, max 51 at Q=8,
+        # and rows still cost ~4 us/10 rows/step even with the hot
+        # buffer (56 vs 66 rows A/B'd 812 vs 852 us) — keep the cap
+        # tight; overshoots bust to host rerun (graceful, exact)
         mp = self.params._replace(
             mem_cap=min(self.params.max_intv_alloc,
-                        self.params.mem_cap + 8 * (Q - 1))
+                        self.params.mem_cap + 4 * (Q - 1) + 4)
         )
         return packed, lensp.reshape(Q, B_lane), Q, mp
 

@@ -358,12 +358,28 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
         mm0=zeros_mm, mm1=zeros_mm, mm2=zeros_mm, mm3=zeros_mm16, mm4=zeros_mm16,
         iters=jnp.max(zb),  # varying scalar under shard_map
     )
+    # multi-read hot push buffer: mem pushes land in HOT small rows and
+    # bulk-flush into the main (MM, B) planes once per HOT machine steps
+    # (pushes are <= 1/lane/step, so HOT slots never overflow between
+    # flushes).  The main planes then pay their full-plane masked-write
+    # RMW once per HOT steps instead of every step — mem rows measured
+    # ~1.7-2.2 us/row/step, and multi-read mode carries Q*~8 rows, which
+    # at Q=16 would otherwise eat the whole step-count win.  HOT doubles
+    # as the unroll depth; 2 on CPU to keep the test-ladder compile small.
+    HOT = 2 if jax.devices()[0].platform == "cpu" else 8
     if Q > 1:
         init["ln"] = ln_init          # current read length per lane
         init["q"] = zb                # current read index per lane
         init["mem_base"] = zb         # lane's mem_n at current-read start
         init["bnd"] = zeros_mm16[:1] * 0 + jnp.zeros((Q, B), jnp.int16)
         init["bq"] = jnp.zeros((Q, B), bool) | (zb > 0)[None, :]
+        init["hn"] = zb               # hot pushes since last flush
+        zeros_hot = jnp.zeros((HOT, B), I32) + zb[None, :]
+        init["h0"] = zeros_hot
+        init["h1"] = zeros_hot
+        init["h2"] = zeros_hot
+        init["h3"] = zeros_hot.astype(jnp.int16)
+        init["h4"] = zeros_hot.astype(jnp.int16)
     if STATE_HIST:
         init["hist"] = jnp.zeros((N_STATES,), I32)
         init["live_t"] = zb  # per-lane live (non-DONE) step count
@@ -492,10 +508,18 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             b_s = _read_row(s["bk2"], s["k"])
             b_st = _read_row(s["bk3"], s["k"])
             b_en = _read_row(s["bk4"], s["k"])
-            # mem row p2_k (pass-2 driver)
+            # mem row p2_k (pass-2 driver); in multi-read mode the most
+            # recent pushes still sit in the hot buffer — row p2_k lives
+            # in hot when p2_k >= mem_n - hn (overrides the main read)
             p_s = _read_row(s["mm2"], s["p2_k"])
             p_st = _read_row(s["mm3"], s["p2_k"])
             p_en = _read_row(s["mm4"], s["p2_k"])
+            if Q > 1:
+                rel = s["p2_k"] - (s["mem_n"] - s["hn"])
+                in_hot = (rel >= 0) & (rel < s["hn"])
+                p_s = jnp.where(in_hot, _read_row(s["h2"], rel), p_s)
+                p_st = jnp.where(in_hot, _read_row(s["h3"], rel), p_st)
+                p_en = jnp.where(in_hot, _read_row(s["h4"], rel), p_en)
             mid = (p_st + p_en) >> 1
 
             # one sequence read per lane, position selected by state
@@ -537,16 +561,26 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
                 upd("ret", mask, v3)  # ret = end of last pushed break intv
 
             # helper: push temp into mem (count past the carried-buffer
-            # cap -> bust -> host rerun)
+            # cap -> bust -> host rerun).  Multi-read pushes go to the
+            # HOT buffer (flushed to the main planes every HOT steps)
             def push_mem(mask, v0, v1, v2, v3, v4, nkey="mem_n"):
                 cnt = n[nkey]
-                slot = jnp.minimum(cnt, MM - 1)
                 w = mask & (cnt < MM)
-                n["mm0"] = _write_row(n["mm0"], slot, v0, w)
-                n["mm1"] = _write_row(n["mm1"], slot, v1, w)
-                n["mm2"] = _write_row(n["mm2"], slot, v2, w)
-                n["mm3"] = _write_row(n["mm3"], slot, v3, w)
-                n["mm4"] = _write_row(n["mm4"], slot, v4, w)
+                if Q > 1:
+                    slot = jnp.minimum(n["hn"], HOT - 1)
+                    n["h0"] = _write_row(n["h0"], slot, v0, w)
+                    n["h1"] = _write_row(n["h1"], slot, v1, w)
+                    n["h2"] = _write_row(n["h2"], slot, v2, w)
+                    n["h3"] = _write_row(n["h3"], slot, v3, w)
+                    n["h4"] = _write_row(n["h4"], slot, v4, w)
+                    n["hn"] = jnp.where(w, n["hn"] + 1, n["hn"])
+                else:
+                    slot = jnp.minimum(cnt, MM - 1)
+                    n["mm0"] = _write_row(n["mm0"], slot, v0, w)
+                    n["mm1"] = _write_row(n["mm1"], slot, v1, w)
+                    n["mm2"] = _write_row(n["mm2"], slot, v2, w)
+                    n["mm3"] = _write_row(n["mm3"], slot, v3, w)
+                    n["mm4"] = _write_row(n["mm4"], slot, v4, w)
                 n["bust"] = n["bust"] | (mask & (cnt >= MM))
                 n[nkey] = jnp.where(mask, cnt + 1, cnt)
 
@@ -882,9 +916,38 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
 
     # ---- multi-read mode: ONE unified loop, all passes x Q reads ------
     if Q > 1:
-        f = jax.lax.while_loop(
-            cond, unrolled(make_body12(include_p3=True)), init
-        )
+        body1 = make_body12(include_p3=True)
+
+        def flush_hot(s):
+            """Bulk-copy hot pushes into the main planes at rows
+            [mem_n - hn, mem_n).  One full-plane masked write per HOT
+            machine steps; the HOT-way select chain fuses into the same
+            elementwise pass."""
+            n = dict(s)
+            io = jax.lax.broadcasted_iota(I32, (MM, B), 0)
+            rel = io - (s["mem_n"] - s["hn"])[None, :]
+            m = (rel >= 0) & (rel < s["hn"][None, :])
+            for mk, hk in (("mm0", "h0"), ("mm1", "h1"), ("mm2", "h2"),
+                           ("mm3", "h3"), ("mm4", "h4")):
+                vals = jnp.zeros((MM, B), s[mk].dtype)
+                for j in range(HOT):
+                    vals = jnp.where(
+                        rel == j, s[hk][j][None, :].astype(s[mk].dtype),
+                        vals,
+                    )
+                n[mk] = jnp.where(m, vals, n[mk])
+            n["hn"] = s["hn"] * 0
+            return n
+
+        def body_multi(s):
+            # HOT machine steps (hot buffer can take one push per lane
+            # per step), then one flush — DONE lanes no-op, so the
+            # fixed HOT-deep unroll overshoots harmlessly
+            for _ in range(HOT):
+                s = body1(s)
+            return flush_hot(s)
+
+        f = jax.lax.while_loop(cond, body_multi, init)
         # lanes still live at the safety cap: every read from the lane's
         # current q on is unfinished -> flag for host rerun
         unf = (f["st"] != S_DONE) | f["bust"]

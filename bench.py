@@ -181,7 +181,8 @@ def bench_smem_100m():
     genome = fm.text[: fm.seq_len // 2]
     eng = SmemEngine(fm)
     B = eng.config.batch_size
-    Q = 4  # multi-read depth for the workload-scale metrics
+    Q = 8  # multi-read depth for the workload-scale metrics
+    # (device rate at Q=8 measured 89K reads/s vs 80K at Q=4; PERF_NOTES)
     reads = gen_smem_reads(rng, genome, Q * B, read_len=101)
     seq_tm = np.full((128, Q * B), 4, np.uint8)
     lens = np.zeros(Q * B, np.int32)

@@ -134,7 +134,24 @@ def run(n_batches=8, n_pairs=8192, quiet=False, dev_gcups=None):
         single_batch_latency_s=lat,
         wall_s=wall,
         cells=cells,
+        n_batches=n_batches,
     )
+    # calibrated dispatch gate from THESE constants (the worthFPGA
+    # analog): the cell count where device round-trip beats the host
+    from acc_genomics_tpu.engine.pairhmm_engine import DispatchCostModel
+
+    model = DispatchCostModel.from_e2e_bench(res)
+    lo, hi = 1_000, 10_000_000_000
+    while hi / lo > 1.01:
+        mid = int((lo * hi) ** 0.5)
+        if model.device_worthwhile(mid, mid // 40):
+            hi = mid
+        else:
+            lo = mid
+    res["dispatch_crossover_cells"] = hi
+    if not quiet:
+        print(f"dispatch crossover: {hi/1e6:.2f}M cells "
+              f"(calibrated gate; install via eng.set_cost_model)")
     if not quiet:
         print(f"streamed e2e      : {e2e:6.1f} GCUPS over {n_batches} x "
               f"{n_pairs} pairs ({cells/1e9:.2f} Gcells, wall {wall:.2f}s)")

@@ -183,3 +183,79 @@ def test_pairhmm_oversize_hap_sp_pallas_on_mesh():
         )
         want = np.log10(want64) - ctx64.log10_initial_constant
         assert abs(g - want) <= 5e-3 * max(abs(want), 1e-12)
+
+
+def test_calibrated_dispatch_crossover_moves_with_constants():
+    """The calibrated gate (DispatchCostModel, the worthFPGA analog)
+    must flip host<->device as the measured constants move — a fast-host
+    model routes mid-size batches to the host, a fast-link/low-latency
+    model routes them to the device, and for FIXED constants the
+    decision flips from host to device as the batch grows past the
+    crossover."""
+    from acc_genomics_tpu.engine.pairhmm_engine import DispatchCostModel
+
+    cells, nbytes = 5_000_000, 130_000
+    many_core_host = DispatchCostModel(
+        host_gcups=0.35, device_gcups=55, link_gb_s=0.05, fixed_s=0.06,
+        cores=24,
+    )
+    pcie_device = DispatchCostModel(
+        host_gcups=0.35, device_gcups=55, link_gb_s=12.0, fixed_s=0.001,
+        cores=1,
+    )
+    assert not many_core_host.device_worthwhile(cells, nbytes)
+    assert pcie_device.device_worthwhile(cells, nbytes)
+    # fixed constants: the crossover exists and is ordered in batch size
+    m = DispatchCostModel(
+        host_gcups=0.35, device_gcups=55, link_gb_s=1.0, fixed_s=0.06,
+        cores=1,
+    )
+    assert not m.device_worthwhile(1_000_000, 25_000)
+    assert m.device_worthwhile(400_000_000, 10_000_000)
+    # and it moves when the host gets faster: the same big batch stays
+    # on a 100x-faster host
+    fast = DispatchCostModel(
+        host_gcups=35.0, device_gcups=55, link_gb_s=1.0, fixed_s=0.06,
+        cores=1,
+    )
+    assert not fast.device_worthwhile(400_000_000, 10_000_000)
+
+
+def test_calibrated_dispatch_engine_routing():
+    """Engine-level: installing opposite cost models routes the SAME
+    batch to host vs device, both oracle-exact."""
+    import pytest
+
+    from acc_genomics_tpu import native
+    from acc_genomics_tpu.engine.pairhmm_engine import DispatchCostModel
+    from acc_genomics_tpu.io.synth import gen_pairhmm_pairs
+
+    if not native.available():
+        pytest.skip("native host engine unavailable")
+    rng = np.random.default_rng(3)
+    tcs = gen_pairhmm_pairs(rng, 12, max_read_len=40, max_hap_len=90)
+    from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
+
+    want = np.array([
+        pairhmm_loglik_oracle(
+            t["rs"], t["q"], t["i"], t["d"], t["c"], t["hap"]
+        )
+        for t in tcs
+    ])
+
+    eng = PairHMMEngine(use_pallas=False)
+    eng.set_cost_model(DispatchCostModel(
+        host_gcups=100.0, device_gcups=1e-3, fixed_s=10.0, link_gb_s=1e-4,
+    ))
+    got = eng.compute_pairs(tcs)
+    assert eng.stats.get("host_native_calls", 0) == 1
+    np.testing.assert_allclose(got, want, rtol=5e-3)
+
+    eng2 = PairHMMEngine(use_pallas=False)
+    eng2.set_cost_model(DispatchCostModel(
+        host_gcups=1e-4, device_gcups=100.0, fixed_s=0.0, link_gb_s=100.0,
+    ))
+    got2 = eng2.compute_pairs(tcs)
+    assert eng2.stats.get("host_native_calls", 0) == 0
+    assert eng2.stats["device_calls"] >= 1
+    np.testing.assert_allclose(got2, want, rtol=5e-3)
