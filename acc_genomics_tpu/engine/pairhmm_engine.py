@@ -637,6 +637,9 @@ class PairHMMEngine:
                 dmi = jnp.asarray(
                     np.concatenate([m.ravel() for _, _, m, _ in stage_q])
                 )
+                self.stats["h2d_bytes"] = (
+                    self.stats.get("h2d_bytes", 0) + du8.size + 4 * dmi.size
+                )
                 o = mo = 0
                 for sel, b, m, rows in stage_q:
                     bb = jax.lax.slice(du8, (o,), (o + b.size,)).reshape(b.shape)
@@ -666,6 +669,9 @@ class PairHMMEngine:
          raw, pending, allres_dev, host_thread, host_err) = state
         if allres_dev is not None:
             allres = np.asarray(allres_dev)
+            self.stats["d2h_bytes"] = (
+                self.stats.get("d2h_bytes", 0) + allres.nbytes
+            )
             col = 0
             for sel, res in pending:
                 w = res.shape[0]
@@ -833,14 +839,32 @@ class PairHMMEngine:
         per-launch stalls past ~4 queued batches), and a depth-2 pipeline
         already overlaps pack(k+1) with device(k).
         """
+        import time as _t
+
         states: list = []
         outs: list = []
+        t_launch = t_final = 0.0
         for b in batches:
+            t0 = _t.perf_counter()
             states.append(self._flat_launch(*b))
+            t_launch += _t.perf_counter() - t0
             if len(states) > 1:  # depth-2 window: at most 2 in flight
+                t0 = _t.perf_counter()
                 outs.append(self._flat_finalize(*states.pop(0)))
+                t_final += _t.perf_counter() - t0
         while states:
+            t0 = _t.perf_counter()
             outs.append(self._flat_finalize(*states.pop(0)))
+            t_final += _t.perf_counter() - t0
+        # phase accounting for the streamed-e2e anatomy (where does the
+        # wall go: host pack+enqueue vs fetch-side wait).  Cumulative,
+        # like the byte counters; callers diff around a run.
+        self.stats["stream_launch_s"] = (
+            self.stats.get("stream_launch_s", 0.0) + t_launch
+        )
+        self.stats["stream_finalize_s"] = (
+            self.stats.get("stream_finalize_s", 0.0) + t_final
+        )
         return outs
 
     def compute_matrix_flat(

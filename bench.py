@@ -410,6 +410,21 @@ def main():
             extras["pairhmm_device_occupancy_pct"] = round(
                 r["device_occupancy"] * 100, 1
             )
+            # during-stream link anatomy (round-3 verdict item 3): the
+            # achieved MB/s while streaming + the launch/finalize split
+            # reconcile the e2e number against its own model in-artifact
+            extras["pairhmm_stream_mb"] = round(r["stream_bytes"] / 1e6, 1)
+            extras["pairhmm_stream_link_mb_s"] = round(
+                r["stream_link_gb_s"] * 1e3, 1
+            )
+            extras["pairhmm_stream_launch_s"] = round(r["stream_launch_s"], 2)
+            extras["pairhmm_stream_finalize_s"] = round(
+                r["stream_finalize_s"], 2
+            )
+            extras["pairhmm_link_model_gcups"] = round(
+                r["link_model_gcups"], 2
+            )
+            extras["pairhmm_sampled_link_gb_s"] = round(r["link_gb_s"], 2)
         except Exception as e:
             extras["pairhmm_e2e_error"] = str(e)[:200]
     try:
