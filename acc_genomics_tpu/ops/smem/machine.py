@@ -45,15 +45,22 @@ from acc_genomics_tpu.ops.smem.reference import (
 I32 = jnp.int32
 MAX_OUT = DEFAULT_SMEM_PARAMS.max_intv_alloc  # MAX_INTV_ALLOC default
 
-# states
+# states — every machine iteration costs one probe-gather (~77% of the
+# step), so bookkeeping-only park states were FOLDED into the probe
+# steps that precede them in round 4: the back-chain epilogue (old
+# S_BACK_POST) runs inline on S_BACK's stop step, the forwardenlarge
+# outer loop (old S_FWDE_K) is absorbed by state-dependent back-row
+# reads in S_BSTART/S_FWDE_M, and S_SKIP's exit runs S_BSTART's work
+# inline.  The constants keep their values (jit caches, histograms).
 S_P1_NEXTX = 0  # pass-1 driver: advance x to next base, enter FWD
 S_FWD = 1       # forward extension collecting break intervals   [probe fwd]
-S_BSTART = 2    # per-interval setup: backenlarge vs forwardenlarge
-S_BACK = 3      # backward chain                                 [probe back]
-S_BACK_POST = 4 # back chain epilogue: start/stop/temp/mem, ic++
-S_FWDE_K = 5    # forwardenlarge outer: load back[k]
-S_FWDE_M = 6    # forwardenlarge inner                           [probe fwd]
-S_SKIP = 7      # skip-ahead over hopeless intervals; final push; exit
+S_BSTART = 2    # per-interval setup (reached from S_FWD only: its curr[0]
+                # row is written on the to_back step itself)
+S_BACK = 3      # backward chain; stop step runs the epilogue    [probe back]
+S_BACK_POST = 4 # retired (folded into S_BACK's stop step, round 4)
+S_FWDE_K = 5    # retired (folded into S_BSTART / S_FWDE_M, round 4)
+S_FWDE_M = 6    # forwardenlarge inner; reloads back[k-1] on fail [probe fwd]
+S_SKIP = 7      # skip-ahead over hopeless intervals; exits run BSTART inline
 S_P2_NEXT = 8   # pass-2 driver: re-seed long low-occ SMEMs from midpoints
 S_P3_NEXTX = 9  # pass-3 driver
 S_P3_EXT = 10   # LAST-like strategy extension                   [probe fwd]
@@ -489,25 +496,31 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             is_fwd = st == S_FWD
             is_bst = st == S_BSTART
             is_bck = st == S_BACK
-            is_bpo = st == S_BACK_POST
-            is_fek = st == S_FWDE_K
             is_fem = st == S_FWDE_M
             is_skp = st == S_SKIP
 
             # ---- shared reads ---------------------------------------------
-            # curr row: BSTART reads interval ic; BACK_POST reads next end
-            # (ic+1); SKIP reads end at ic
-            curr_row = jnp.where(is_bpo, s["ic"] + 1, s["ic"])
+            # curr row: BSTART/SKIP read interval ic; BACK reads ic+1 (its
+            # stop step runs the old BACK_POST epilogue inline, which
+            # needs the NEXT interval's end — round-4 state folds)
+            curr_row = jnp.where(is_bck, s["ic"] + 1, s["ic"])
             c_x0 = _read_row(s["cu0"], curr_row)
             c_x1 = _read_row(s["cu1"], curr_row)
             c_s = _read_row(s["cu2"], curr_row)
             c_end = _read_row(s["cu3"], curr_row)
-            # back row k (FWDE_K)
-            b_x0 = _read_row(s["bk0"], s["k"])
-            b_x1 = _read_row(s["bk1"], s["k"])
-            b_s = _read_row(s["bk2"], s["k"])
-            b_st = _read_row(s["bk3"], s["k"])
-            b_en = _read_row(s["bk4"], s["k"])
+            # back row: BSTART/SKIP-exit read back[back_n-1] (inner-loop
+            # entry), FWDE_M reads back[k-1] (inner-loop failure reload);
+            # out-of-range rows read 0s and are consumed by no lane
+            b_row = jnp.where(
+                is_bst | is_skp,
+                s["back_n"] - 1,
+                jnp.where(is_fem, s["k"] - 1, s["k"]),
+            )
+            b_x0 = _read_row(s["bk0"], b_row)
+            b_x1 = _read_row(s["bk1"], b_row)
+            b_s = _read_row(s["bk2"], b_row)
+            b_st = _read_row(s["bk3"], b_row)
+            b_en = _read_row(s["bk4"], b_row)
             # mem row p2_k (pass-2 driver); in multi-read mode the most
             # recent pushes still sit in the hot buffer — row p2_k lives
             # in hot when p2_k >= mem_n - hn (overrides the main read)
@@ -671,24 +684,43 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("ic", to_back, zb)
             # start/stop already x from entry init
 
-            # ================= S_BSTART =================
-            use_back = (s["back_n"] == 0) | (s["stop"] - s["start"] >= 3)
-            bst_back = is_bst & use_back
-            bst_fwde = is_bst & ~use_back
-            upd("ik0", is_bst, c_x0)
-            upd("ik1", is_bst, c_x1)
-            upd("iks", is_bst, c_s)
-            upd("ikst", is_bst, s["x"])
-            upd("iken", is_bst, c_end)
+            # ---- S_SKIP masks (early: its exit runs BSTART inline) --------
+            skp_done = is_skp & (s["ic"] >= s["curr_n"])
+            skp_live = is_skp & ~skp_done
+            max_len = s["t3"] + c_end
+            skp_more = skp_live & (max_len < MIN_SEED_LEN)
+            skp_exit = skp_live & ~skp_more
+            # stop as BSTART would see it one step later: continuation
+            # SKIP iterations update stop = curr[ic].end first
+            stop_eff = jnp.where(is_skp & ~s["skip_first"], c_end, s["stop"])
+
+            # ================= S_BSTART (+ folded SKIP exits) ===========
+            # Round-4 fold: SKIP's exit used to park one full probe-step
+            # in S_BSTART; its work now runs inline on the exit step.
+            # S_BSTART itself remains only as S_FWD's landing state (its
+            # curr[0] row is written on the to_back step itself, so the
+            # read must wait one step).
+            bst_any = is_bst | skp_exit
+            use_back = (s["back_n"] == 0) | (stop_eff - s["start"] >= 3)
+            bst_back = bst_any & use_back
+            bst_fwde = bst_any & ~use_back
+            upd("ik0", bst_any, jnp.where(bst_fwde, b_x0, c_x0))
+            upd("ik1", bst_any, jnp.where(bst_fwde, b_x1, c_x1))
+            upd("iks", bst_any, jnp.where(bst_fwde, b_s, c_s))
+            upd("ikst", bst_any, jnp.where(bst_fwde, b_st, s["x"]))
+            upd("iken", bst_any, jnp.where(bst_fwde, b_en, c_end))
             # backenlarge: back = [ik]; k = x-1  (the bk write itself is
             # merged with S_BACK's below — exclusive states)
             upd("back_n", bst_back, jnp.ones_like(zb))
             upd("k", bst_back, s["x"] - 1)
             upd("st", bst_back, jnp.full_like(st, S_BACK))
-            # forwardenlarge: stop = curr[ic].end; k = back_n - 1
+            # forwardenlarge: stop = curr[ic].end, registers loaded from
+            # back[back_n-1], straight into the inner loop (the old
+            # S_FWDE_K entry park step — folded round 4)
             upd("stop", bst_fwde, c_end)
             upd("k", bst_fwde, s["back_n"] - 1)
-            upd("st", bst_fwde, jnp.full_like(st, S_FWDE_K))
+            upd("m", bst_fwde, s["start"] + 1)
+            upd("st", bst_fwde, jnp.full_like(st, S_FWDE_M))
 
             # ================= S_BACK =================
             bck_ok = is_bck & rd_is_base & (s["k"] >= 0) & (ocsb >= s["min_intv"])
@@ -710,43 +742,40 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("back_n", bck_ok, s["back_n"] + 1)
             n["bust"] = n["bust"] | (bck_ok & (s["back_n"] >= LB))
             upd("k", bck_ok, s["k"] - 1)
-            upd("st", bck_stop, jnp.full_like(st, S_BACK_POST))
-
-            # ================= S_BACK_POST =================
-            # start = curr[ic].end (== iken); stop = curr[ic+1].end or ln
-            upd("start", is_bpo, s["iken"])
-            upd("stop", is_bpo, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, lnc))
+            # back-chain epilogue folded into the stop step (the old
+            # S_BACK_POST park step — round 4): start = curr[ic].end
+            # (== iken), stop = curr[ic+1].end or ln (c_* reads run at
+            # ic+1 during S_BACK), temp = ik, ic++, into the skip scan
+            upd("start", bck_stop, s["iken"])
+            upd("stop", bck_stop, jnp.where(s["ic"] < s["curr_n"] - 1, c_end, lnc))
             t_len = s["t4"] - s["t3"]
-            bpo_push = is_bpo & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
+            bpo_push = bck_stop & (s["ic"] > 0) & (s["ikst"] > s["t3"]) & (t_len >= MIN_SEED_LEN)
             # (mem pushes from all states merge into one masked write below)
-            # temp = ik (all back-post paths)
             for tk_, ik_ in (("t0", "ik0"), ("t1", "ik1"), ("t2", "iks"), ("t3", "ikst"), ("t4", "iken")):
-                upd(tk_, is_bpo, s[ik_])
-            upd("ic", is_bpo, s["ic"] + 1)
-            upd("skip_first", is_bpo, jnp.ones(B, bool))
-            upd("st", is_bpo, jnp.full_like(st, S_SKIP))
-
-            # ================= S_FWDE_K =================
-            fek_done = is_fek & (s["k"] < 0)
-            fek_go = is_fek & (s["k"] >= 0)
-            upd("ic", fek_done, s["ic"] + 1)
-            upd("skip_first", fek_done, jnp.ones(B, bool))
-            upd("st", fek_done, jnp.full_like(st, S_SKIP))
-            upd("ik0", fek_go, b_x0)
-            upd("ik1", fek_go, b_x1)
-            upd("iks", fek_go, b_s)
-            upd("ikst", fek_go, b_st)
-            upd("iken", fek_go, b_en)
-            upd("m", fek_go, s["start"] + 1)
-            upd("st", fek_go, jnp.full_like(st, S_FWDE_M))
+                upd(tk_, bck_stop, s[ik_])
+            upd("ic", bck_stop, s["ic"] + 1)
+            upd("skip_first", bck_stop, jnp.ones(B, bool))
+            upd("st", bck_stop, jnp.full_like(st, S_SKIP))
 
             # ================= S_FWDE_M =================
             fem_fail = is_fem & (ocsf < s["min_intv"])
             fem_ok = is_fem & ~(ocsf < s["min_intv"])
             at_stop = fem_ok & (s["m"] == s["stop"])
-            # inner-loop failure: k -= 1, back to FWDE_K
-            upd("k", fem_fail, s["k"] - 1)
-            upd("st", fem_fail, jnp.full_like(st, S_FWDE_K))
+            # inner-loop failure: reload back[k-1] and continue (b_* reads
+            # run at k-1 during S_FWDE_M), or k exhausted -> interval
+            # epilogue — both directions of the old S_FWDE_K park step
+            fail_go = fem_fail & (s["k"] - 1 >= 0)
+            fail_done = fem_fail & (s["k"] - 1 < 0)
+            upd("k", fail_go, s["k"] - 1)
+            upd("ik0", fail_go, b_x0)
+            upd("ik1", fail_go, b_x1)
+            upd("iks", fail_go, b_s)
+            upd("ikst", fail_go, b_st)
+            upd("iken", fail_go, b_en)
+            upd("m", fail_go, s["start"] + 1)
+            upd("ic", fail_done, s["ic"] + 1)
+            upd("skip_first", fail_done, jnp.ones(B, bool))
+            upd("st", fail_done, jnp.full_like(st, S_SKIP))
             # successful extension
             upd("ik0", fem_ok, oc0f)
             upd("ik1", fem_ok, oc1f)
@@ -767,8 +796,7 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("st", at_stop, jnp.full_like(st, S_SKIP))
 
             # ================= S_SKIP =================
-            skp_done = is_skp & (s["ic"] >= s["curr_n"])
-            skp_live = is_skp & ~skp_done
+            # (masks computed above; exits run the BSTART block inline)
             # final push of the trailing temp, then exit to the pass driver
             fin_push = skp_done & (s["t4"] - s["t3"] >= MIN_SEED_LEN)
             back_p1 = skp_done & (s["mode"] == 1)
@@ -778,12 +806,8 @@ def smem_collect_machine(idx, seq_tm, lens, max_iters=None,
             upd("st", back_p2, jnp.full_like(st, S_P2_NEXT))
             # skip-ahead: stop updates on continuation iterations only
             upd("stop", skp_live & ~s["skip_first"], c_end)
-            max_len = s["t3"] + c_end
-            skp_more = skp_live & (max_len < MIN_SEED_LEN)
-            skp_exit = skp_live & ~skp_more
             upd("ic", skp_more, s["ic"] + 1)
             upd("skip_first", skp_more, jnp.zeros(B, bool))
-            upd("st", skp_exit, jnp.full_like(st, S_BSTART))
 
             if include_p3:
                 # ---- pass-3 states live in the same body (multi-read) ----
