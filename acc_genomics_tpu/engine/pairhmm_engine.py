@@ -711,6 +711,13 @@ class PairHMMEngine:
         bd = ((nd + 3) // 4 * 4).astype(np.int32)
         meta = np.zeros((1, bp), np.int32)
         meta[0, : len(bd)] = bd
+        # this path ships three buffers itself (no shared staging), so it
+        # must account its own H2D bytes or the stream anatomy reports a
+        # zero-byte stream in f32 mode (advisor finding, round 4)
+        self.stats["h2d_bytes"] = (
+            self.stats.get("h2d_bytes", 0)
+            + big_f.nbytes + big_i.nbytes + meta.nbytes
+        )
         return pairhmm_forward_pallas_packed_f32(
             jnp.asarray(big_f), jnp.asarray(big_i), jnp.asarray(meta),
             rows=rows, interpret=self._interpret,

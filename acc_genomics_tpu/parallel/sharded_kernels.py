@@ -62,6 +62,50 @@ def smem_collect_dp(mesh: Mesh, idx, seq_tm, lens,
 
 
 @functools.lru_cache(maxsize=None)
+def _smem_multi_dp_fn(mesh: Mesh, idx_keys, params: SmemParams, Q: int):
+    import jax.numpy as jnp
+
+    idx_spec = {k: P() for k in idx_keys}
+
+    def wrapped(idx_, packed_, lens_):
+        mem, mem_n, bnd, bq, iters = smem_collect_machine(
+            idx_, packed_, lens_, params=params, reads_per_lane=Q
+        )
+        return mem, mem_n, bnd, bq, jnp.broadcast_to(iters, (1,))
+
+    return jax.jit(jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(idx_spec, P(None, "data"), P(None, "data")),
+        out_specs=(
+            (P(None, "data"),) * 5,
+            P("data"),
+            P(None, "data"),
+            P(None, "data"),
+            P("data"),
+        ),
+    ))
+
+
+def smem_collect_multi_dp(mesh: Mesh, idx, packed, lens_q, reads_per_lane,
+                          params: SmemParams = DEFAULT_SMEM_PARAMS):
+    """MULTI-READ SMEM machine (Q reads per lane, in-body switching),
+    lanes sharded over "data", index replicated — the mesh form of the
+    engine's genome-scale production path, so distributed collection gets
+    the same CLT step-count win as one chip (the bank-level data
+    parallelism of smem/host/ocl.cpp:296-363: every DRAM bank holds the
+    whole BWT and serves an independent slice of the read stream).
+
+    packed: (3*Q*L/32, B_lane) int32 pre-packed 2-bit pool planes
+    (SmemEngine._multi_pack layout); lens_q: (Q, B_lane).  B_lane must
+    divide by the data-axis size.  Returns (mem x5 (rows, B), mem_n (B,),
+    bnd (Q, B), bustq (Q, B), iters per shard)."""
+    return _smem_multi_dp_fn(
+        mesh, tuple(sorted(idx)), params, int(reads_per_lane)
+    )(idx, packed, lens_q)
+
+
+@functools.lru_cache(maxsize=None)
 def _extend_dp_fn(mesh: Mesh, params: ExtendParams):
     def body(q_tm, t_tm, qlen, tlen, h0, max_ins, max_del):
         return sw_extend_batch(

@@ -92,9 +92,15 @@ def run(n_batches=8, n_pairs=8192, quiet=False, dev_gcups=None):
         eng.stats.get("h2d_bytes", 0) - h2d0
         + eng.stats.get("d2h_bytes", 0) - d2h0
     )
-    stream_link_gb_s = stream_bytes / wall / 1e9
     stream_launch_s = eng.stats.get("stream_launch_s", 0.0) - tl0
     stream_final_s = eng.stats.get("stream_finalize_s", 0.0) - tf0
+    # link rate over the LAUNCH window (where the uploads actually
+    # happen), not total wall: on this host launch is ~95% of wall so
+    # they nearly coincide, but on a fast-link host bytes/wall would
+    # overstate link occupancy (advisor finding, round 4).  bytes/wall
+    # stays available as stream_eff_gb_s (the effective whole-stream rate).
+    stream_link_gb_s = stream_bytes / max(stream_launch_s, 1e-9) / 1e9
+    stream_eff_gb_s = stream_bytes / wall / 1e9
 
     # --- pack-only rate (same buckets the engine used) ----------------
     from acc_genomics_tpu import native
@@ -156,6 +162,7 @@ def run(n_batches=8, n_pairs=8192, quiet=False, dev_gcups=None):
         link_gb_s=link_gb_s,
         stream_bytes=stream_bytes,
         stream_link_gb_s=stream_link_gb_s,
+        stream_eff_gb_s=stream_eff_gb_s,
         stream_launch_s=stream_launch_s,
         stream_finalize_s=stream_final_s,
         link_model_gcups=link_model_gcups,
@@ -191,7 +198,8 @@ def run(n_batches=8, n_pairs=8192, quiet=False, dev_gcups=None):
               f"({nbytes/link_dt/1e9:.2f} GB/s, {link_dt*1e3:.0f} ms/batch)")
         print(f"device occupancy  : {occupancy*100:5.1f}% of wall")
         print(f"stream anatomy    : {stream_bytes/1e6:.1f} MB shipped, "
-              f"achieved {stream_link_gb_s*1e3:.1f} MB/s during stream; "
+              f"achieved {stream_link_gb_s*1e3:.1f} MB/s over the launch "
+              f"window ({stream_eff_gb_s*1e3:.1f} MB/s over full wall); "
               f"launch {stream_launch_s:.2f}s / finalize "
               f"{stream_final_s:.2f}s of {wall:.2f}s wall")
         print(f"link-bound model  : {link_model_gcups:6.1f} GCUPS at the "
