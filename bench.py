@@ -122,13 +122,65 @@ def bench_sw(on_tpu):
     return cells / dt / 1e9
 
 
+def _smem_device_rate(eng, seq_tm, lens, K=3):
+    """Chip-only machine rate on RESIDENT inputs with one tiny fetch per
+    rep — the companion number that separates machine regressions from
+    tunnel mood in the e2e series (round-4 verdict item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acc_genomics_tpu.ops.smem.machine import _collect_jit
+
+    seq_d, lens_d = jnp.asarray(seq_tm), jnp.asarray(lens)
+
+    def dev_run():
+        mem, mem_n, iters = _collect_jit(
+            eng.idx, seq_d, lens_d, params=eng.params
+        )
+        return jax.device_get((mem_n[:4], jnp.asarray(iters)))
+
+    _, iters = dev_run()  # warm (compile shared with the e2e path)
+    dts = []
+    for _ in range(K):
+        t0 = time.perf_counter()
+        dev_run()
+        dts.append(time.perf_counter() - t0)
+    return lens.shape[0] / min(dts), int(iters)
+
+
+def _anatomy_extras(anatomy, prefix, reps):
+    """Per-phase engine anatomy -> BENCH extras (seconds per rep + MB +
+    achieved link MB/s), so the artifact itself reconciles every e2e
+    number against its phases (round-4 verdict item 2)."""
+    out = {}
+    for k, v in anatomy.items():
+        if k.endswith("_s"):
+            out[f"{prefix}_{k[:-2]}_ms"] = round(v / reps * 1e3, 1)
+        else:
+            out[f"{prefix}_{k[:-6]}_mb"] = round(v / reps / 1e6, 2)
+    up_s = anatomy.get("launch_s", 0.0)
+    if anatomy.get("h2d_bytes", 0) and up_s > 0:
+        out[f"{prefix}_h2d_mb_s"] = round(
+            anatomy["h2d_bytes"] / up_s / 1e6, 1
+        )
+    fe_s = anatomy.get("fetch_s", 0.0)
+    if anatomy.get("d2h_bytes", 0) and fe_s > 0:
+        out[f"{prefix}_d2h_mb_s"] = round(
+            anatomy["d2h_bytes"] / fe_s / 1e6, 1
+        )
+    return out
+
+
 def bench_smem(on_tpu, n_reads=None):
     """SMEM engine e2e reads/s at 101 bp + analytical probe GB/s.
 
     FROZEN shapes (round-4 rule: bench shapes never change silently):
     the headline runs at 65536 lanes (the r03 shape) and main() also
     emits the 16384-lane figure (the r02 shape) so the cross-round
-    series stays comparable."""
+    series stays comparable.  Returns a dict carrying, per the round-4
+    verdict (weak #1 / item 3): per-rep times, the device-only machine
+    rate at the same shape, the collect_arrays rate (= collect minus
+    the ~30 us/read dict-conversion tax), and the engine anatomy."""
     from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
     from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
 
@@ -149,8 +201,32 @@ def bench_smem(on_tpu, n_reads=None):
         dts.append(time.perf_counter() - t0)
     dt = min(dts)  # min-of-K: the tunnel/host contention swings 2x
     iters = (eng.smem.stats["probe_iters"] - iters0) / K
-    traffic_gb_s = iters * 2 * 32 * n_reads / dt / 1e9
-    return n_reads / dt, traffic_gb_s
+    out = dict(
+        reads_per_s=n_reads / dt,
+        probe_gb_s=iters * 2 * 32 * n_reads / dt / 1e9,
+        rep_ms=[round(d * 1e3, 1) for d in dts],
+    )
+    # dict-conversion share: the same shape through collect_arrays (no
+    # per-interval dict conversion) — collect minus this is Python time
+    seq_tm = np.full((eng.smem.config.read_buckets[1], n_reads), 4, np.uint8)
+    lens = np.zeros(n_reads, np.int32)
+    for k, r in enumerate(reads):
+        seq_tm[: len(r), k] = r
+        lens[k] = len(r)
+    eng.smem.collect_arrays(seq_tm, lens)  # warm
+    eng.smem.reset_anatomy()
+    dts_a = []
+    for _ in range(K):
+        t0 = time.perf_counter()
+        eng.smem.collect_arrays(seq_tm, lens)
+        dts_a.append(time.perf_counter() - t0)
+    out["arrays_reads_per_s"] = n_reads / min(dts_a)
+    out["anatomy"] = dict(eng.smem.anatomy)
+    out["anatomy_reps"] = K
+    if on_tpu:
+        rate, _ = _smem_device_rate(eng.smem, seq_tm, lens, K=K)
+        out["device_reads_per_s"] = rate
+    return out
 
 
 def bench_smem_100m():
@@ -195,6 +271,7 @@ def bench_smem_100m():
     eng.collect_arrays(s1, l1)  # warm/compile
     iters0 = eng.stats["probe_iters"]
     K = 3
+    eng.reset_anatomy()
     dts = []
     for _ in range(K):
         t0 = time.perf_counter()
@@ -203,16 +280,24 @@ def bench_smem_100m():
     dt = min(dts)  # min-of-K: tunnel/host contention swings 2x
     iters = (eng.stats["probe_iters"] - iters0) / K
     out["reads_per_s"] = B / dt
+    out["rep_ms"] = [round(d * 1e3, 1) for d in dts]
     out["probe_gb_s"] = iters * 2 * 32 * B / dt / 1e9
+    out["anatomy_oneshot"] = dict(eng.anatomy)
+    # one-shot device-rate companion (chip-only, resident inputs)
+    out["device_reads_per_s_oneshot"], _ = _smem_device_rate(eng, s1, l1, K=K)
     # (b) workload scale: Q*B reads through the MULTI-READ machine
     # (engine e2e incl. packed upload, densify, dense fetch)
     eng.collect_arrays(seq_tm, lens)  # warm/compile
+    eng.reset_anatomy()
     dts = []
     for _ in range(K):
         t0 = time.perf_counter()
         eng.collect_arrays(seq_tm, lens)
         dts.append(time.perf_counter() - t0)
     out["multi_reads_per_s"] = Q * B / min(dts)
+    out["multi_rep_ms"] = [round(d * 1e3, 1) for d in dts]
+    out["anatomy_multi"] = dict(eng.anatomy)
+    out["anatomy_reps"] = K
     # (c) device-only multi-read rate (the PairHMM-kernel-style number:
     # machine while-loop time on resident inputs, one tiny fetch — the
     # tunnel's MB/s mood swings (a)/(b) by >2x; this is the chip's rate)
@@ -317,12 +402,18 @@ def bench_extend_engine(on_tpu):
                           rbeg_off=150 + qbeg, len=slen))
     engine.extend_seeds(seeds)  # warm
     K = 3 if on_tpu else 1
+    engine.extend.reset_anatomy()
     dts = []
     for _ in range(K):
         t0 = _t.perf_counter()
         engine.extend_seeds(seeds)
         dts.append(_t.perf_counter() - t0)
-    return n / min(dts)
+    return dict(
+        seeds_per_s=n / min(dts),
+        rep_ms=[round(d * 1e3, 1) for d in dts],
+        anatomy=dict(engine.extend.anatomy),
+        anatomy_reps=K,
+    )
 
 
 def bench_hc(on_tpu):
@@ -377,6 +468,49 @@ def bench_bwamem(on_tpu):
         pipe.map_reads_arrays(reads)
         dts.append(_t.perf_counter() - t0)
     return n / min(dts)
+
+
+def bench_bwamem_100m():
+    """Fused BWA-MEM device pipeline at GENOME scale (the 100 Mbp cached
+    index; SA + text HBM-resident): reads/s through map_reads_arrays —
+    the artifact-backed form of README's 100-500 Mbp claim (round-4
+    verdict item 4).  Missing index RAISES (lands as bwamem_100m_error),
+    matching bench_smem_100m's no-silent-skip contract.  Reference
+    analog: smem/main.cpp:426-453 (bwt_size cap 1e9) feeding the seed
+    extension pipeline."""
+    import os
+    import time as _t
+
+    if not os.path.exists("data/chr100m.fm.npz"):
+        raise FileNotFoundError(
+            "index missing: data/chr100m.fm.npz not built this session "
+            "(drivers/smem_driver.py --genome 100000000 --save-npz ...)"
+        )
+    from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
+    from acc_genomics_tpu.io.synth import gen_smem_reads
+    from acc_genomics_tpu.models.bwa_mem import BwaMemDevicePipeline
+    from acc_genomics_tpu.ops.smem.index import FMIndex
+
+    fm = FMIndex.load("data/chr100m.fm.npz")
+    rng = np.random.default_rng(0)
+    genome = fm.text[: fm.seq_len // 2]
+    eng = GenomicsEngine()
+    eng.set_index(fm)
+    pipe = BwaMemDevicePipeline(eng, max_occ=4, flank=100)
+    n = 2048
+    reads = gen_smem_reads(rng, genome, n, read_len=101)
+    pipe.map_reads_arrays(reads)  # warm (index/SA/text upload + compiles)
+    K = 3
+    dts = []
+    for _ in range(K):
+        t0 = _t.perf_counter()
+        pipe.map_reads_arrays(reads)
+        dts.append(_t.perf_counter() - t0)
+    return dict(
+        reads_per_s=n / min(dts),
+        rep_ms=[round(d * 1e3, 1) for d in dts],
+        seeds=pipe.stats["seeds"],
+    )
 
 
 def main():
@@ -438,15 +572,32 @@ def main():
     except Exception as e:  # never let a sub-bench kill the headline
         extras["sw_error"] = str(e)[:200]
     try:
-        rps, gbs = bench_smem(on_tpu)
-        extras["smem_reads_per_s"] = round(float(rps), 1)
-        extras["smem_probe_gb_s"] = round(float(gbs), 3)
+        r = bench_smem(on_tpu)
+        extras["smem_reads_per_s"] = round(float(r["reads_per_s"]), 1)
+        extras["smem_probe_gb_s"] = round(float(r["probe_gb_s"]), 3)
+        extras["smem_rep_ms"] = r["rep_ms"]
+        extras["smem_arrays_reads_per_s"] = round(
+            float(r["arrays_reads_per_s"]), 1
+        )
+        if "device_reads_per_s" in r:
+            extras["smem_device_reads_per_s"] = round(
+                float(r["device_reads_per_s"]), 1
+            )
+        extras.update(
+            _anatomy_extras(r["anatomy"], "smem_toy", r["anatomy_reps"])
+        )
     except Exception as e:
         extras["smem_error"] = str(e)[:200]
     if on_tpu:
         try:  # the r02 shape, kept so the cross-round series continues
-            rps16, _ = bench_smem(on_tpu, n_reads=16384)
-            extras["smem_reads_per_s_16k"] = round(float(rps16), 1)
+            r16 = bench_smem(on_tpu, n_reads=16384)
+            extras["smem_reads_per_s_16k"] = round(
+                float(r16["reads_per_s"]), 1
+            )
+            extras["smem_rep_ms_16k"] = r16["rep_ms"]
+            extras["smem_device_reads_per_s_16k"] = round(
+                float(r16["device_reads_per_s"]), 1
+            )
         except Exception as e:
             extras["smem_16k_error"] = str(e)[:200]
     if on_tpu:
@@ -454,13 +605,24 @@ def main():
             r = bench_smem_100m()
             extras["smem_reads_per_s_100m"] = round(float(r["reads_per_s"]), 1)
             extras["smem_probe_gb_s_100m"] = round(float(r["probe_gb_s"]), 3)
+            extras["smem_rep_ms_100m"] = r["rep_ms"]
+            extras["smem_device_reads_per_s_100m_oneshot"] = round(
+                float(r["device_reads_per_s_oneshot"]), 1
+            )
             extras["smem_multi_reads_per_s_100m"] = round(
                 float(r["multi_reads_per_s"]), 1
             )
+            extras["smem_multi_rep_ms_100m"] = r["multi_rep_ms"]
             extras["smem_device_reads_per_s_100m"] = round(
                 float(r["device_reads_per_s"]), 1
             )
             extras["smem_multi_iters_100m"] = r["multi_iters"]
+            extras.update(_anatomy_extras(
+                r["anatomy_oneshot"], "smem_100m", r["anatomy_reps"]
+            ))
+            extras.update(_anatomy_extras(
+                r["anatomy_multi"], "smem_100m_multi", r["anatomy_reps"]
+            ))
         except Exception as e:
             extras["smem_100m_error"] = str(e)[:200]
     try:
@@ -470,8 +632,13 @@ def main():
     except Exception as e:
         extras["extend_error"] = str(e)[:200]
     try:
+        r = bench_extend_engine(on_tpu)
         extras["extend_engine_seeds_per_s"] = round(
-            float(bench_extend_engine(on_tpu)), 1
+            float(r["seeds_per_s"]), 1
+        )
+        extras["extend_engine_rep_ms"] = r["rep_ms"]
+        extras.update(
+            _anatomy_extras(r["anatomy"], "extend_eng", r["anatomy_reps"])
         )
     except Exception as e:
         extras["extend_engine_error"] = str(e)[:200]
@@ -480,6 +647,14 @@ def main():
             extras["bwamem_reads_per_s_2m"] = round(float(bench_bwamem(True)), 1)
         except Exception as e:
             extras["bwamem_error"] = str(e)[:200]
+        try:
+            r = bench_bwamem_100m()
+            extras["bwamem_reads_per_s_100m"] = round(
+                float(r["reads_per_s"]), 1
+            )
+            extras["bwamem_rep_ms_100m"] = r["rep_ms"]
+        except Exception as e:
+            extras["bwamem_100m_error"] = str(e)[:200]
         try:
             extras["hc_regions_per_s"] = round(float(bench_hc(True)), 1)
         except Exception as e:
