@@ -11,6 +11,20 @@ Variants (--variant):
   base      one-shot split-body machine (production path)
   unified   all three passes in ONE body (no p12/p3 barrier): segment
             machine with one huge segment
+
+--probe-extra {none,self,rand,near} (round 5, speed-of-light): add a
+SECOND 2B-row gather to every machine step, patched into _occ4_pair:
+  self  at the probe's own block addresses (identical distribution) —
+        the step-cost delta is the in-machine MARGINAL cost of the
+        machine's real gather, the number the isolated chains
+        (smem_sol.py: 13.0 ns/row throughput-bound) kept contradicting
+  rand  at hash-scrambled block addresses (uniform random) — if this
+        delta exceeds the self delta, the real probe's address
+        DISTRIBUTION is what the isolated microbenches failed to model
+  near  at block+1 (adjacent-row control)
+The extra rows are folded into the occ output via XOR of their low bits
+(so XLA cannot DCE or hoist them); occ values are then off by <= 1
+occasionally, which perturbs the walk — compare us/step, not results.
 """
 
 import argparse
@@ -58,7 +72,34 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--curr-cap", type=int, default=None)
     ap.add_argument("--mem-cap", type=int, default=None)
+    ap.add_argument("--probe-extra", default="none",
+                    choices=["none", "self", "rand", "near"])
     args = ap.parse_args()
+
+    if args.probe_extra != "none":
+        import acc_genomics_tpu.ops.smem.machine as M
+
+        orig_pair = M._occ4_pair
+        MIX = np.uint32(0x9E3779B1).astype(np.int32)
+
+        def patched(tbl, primary, ka, kb):
+            o_a, o_b = orig_pair(tbl, primary, ka, kb)
+            nblk = tbl.shape[0]
+            kk = jnp.concatenate([ka, kb])
+            blk = jnp.maximum(kk - (kk >= primary).astype(jnp.int32), 0) // 64
+            if args.probe_extra == "self":
+                blk2 = blk
+            elif args.probe_extra == "near":
+                blk2 = jnp.minimum(blk + 1, nblk - 1)
+            else:  # rand
+                blk2 = jnp.abs(kk * MIX) % (nblk - 1)
+            rows = jnp.take(tbl, blk2, axis=0)
+            B = ka.shape[0]
+            # rare (p = 1/16) low-bit flips: un-DCE-able, walk stays close
+            flip = ((rows & 0xF) == 0xF).astype(o_a.dtype)
+            return o_a ^ flip[:B, :4], o_b ^ flip[B:, :4]
+
+        M._occ4_pair = patched
 
     fm = FMIndex.load(args.npz)
     kw = {}
@@ -73,9 +114,13 @@ def main():
     if args.variant == "base":
         from acc_genomics_tpu.ops.smem.machine import _collect_jit
 
+        # perturbed-probe walks may not converge: cap iterations so the
+        # per-step cost is still measured over a bounded, comparable run
+        mi = 2000 if args.probe_extra != "none" else None
+
         def run():
             mem, mem_n, iters = _collect_jit(
-                eng.idx, seq, lens, params=eng.params
+                eng.idx, seq, lens, max_iters=mi, params=eng.params
             )
             return jax.device_get((mem_n, jnp.asarray(iters)))
 

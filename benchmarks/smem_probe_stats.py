@@ -39,6 +39,19 @@ def trace_read(fm, seq, params, stats, runs):
             stats[phase + "_s1"] += 1
             if min_intv == 1:
                 stats[phase + "_s1mi1"] += 1
+        # Pair-coalescing census: the machine's two occ probes hit rows
+        # blk(k-1) and blk(k-1+s).  A (nblk, 16) paired table whose row i
+        # carries blocks [i, i+1] serves BOTH probes with one B-row gather
+        # whenever the pair spans <= 2 blocks: always for s <= 64, with
+        # probability (128 - s)/64 for 64 < s < 128 (offset ~uniform).
+        if s <= 64:
+            stats["pair_fit"] += 1.0
+        elif s < 128:
+            stats["pair_fit"] += (128.0 - s) / 64.0
+        if s <= 192:
+            stats["pair_fit4"] += 1.0  # 4-block (nblk, 32) row, 256 bases
+        elif s < 256:
+            stats["pair_fit4"] += (256.0 - s) / 64.0
 
     def smem1a(x, min_intv):
         nonlocal fwd_run
@@ -230,6 +243,10 @@ def main():
         per_read_fast.append((slow - saved_f, slow - saved_f - saved_b))
     tot = sum(agg[p] for p in ("fwd", "back", "fwde", "p3"))
     print(f"reads={len(reads)} total probes={tot} (mean {tot/len(reads):.0f}/read)")
+    print(
+        f"pair-coalescing fit: 2-block row {agg['pair_fit']/tot:5.1%}, "
+        f"4-block row {agg['pair_fit4']/tot:5.1%} of probe pairs"
+    )
     for p in ("fwd", "back", "fwde", "p3"):
         print(
             f"  {p:5s}: {agg[p]:8d} ({agg[p]/tot:5.1%})   "

@@ -65,14 +65,25 @@ def main():
     print(f"table ({nrow}, 8) int32 = {nrow*32/1e6:.0f} MB, lanes {B}, "
           f"{K} serialized steps")
 
-    MIX = np.int32(0x9E3779B1)
+    MIX = np.uint32(0x9E3779B1).astype(np.int32)  # golden-ratio mix, wrapped
 
     def chain(body):
         def f(idx):
             return jax.lax.fori_loop(0, K, body, idx)
         return jax.jit(f)
 
+    rows_per = {"wall_fused (2B rows)": 2 * B, "wall_occ (2B rows + occ4)": 2 * B,
+                "wall_B (B rows)": B, "wall_4B (4B rows)": 4 * B,
+                "dup_pair (kb == ka)": 2 * B, "near_pair (kb = ka+1)": 2 * B,
+                "stream (same bytes, contiguous)": 2 * B}
     results = {}
+
+    def report(name, dt):
+        results[name] = dt
+        r = rows_per[name]
+        print(f"{name:34s} {dt*1e6:8.1f} us/step  "
+              f"{r/dt/1e6:7.1f} Mrows/s  {r*32/dt/1e9:6.2f} GB/s",
+              flush=True)
 
     # --- wall_fused: the machine's exact probe shape --------------------
     def body_fused(_, ka):
@@ -81,7 +92,7 @@ def main():
         v = rows[:B, 0] + rows[B:, 1]
         return jnp.abs(ka * MIX + v) % (nrow - 2)
 
-    results["wall_fused (2B rows)"] = timed_loop(chain(body_fused), idx0)
+    report("wall_fused (2B rows)", timed_loop(chain(body_fused), idx0))
 
     # --- wall_occ: + the real occ arithmetic ----------------------------
     from acc_genomics_tpu.ops.smem.machine import _occ4_from_row
@@ -94,14 +105,14 @@ def main():
         v = occ[:B, 0] + occ[B:, 3]
         return jnp.abs(ka * MIX + v) % (nrow - 2)
 
-    results["wall_occ (2B rows + occ4)"] = timed_loop(chain(body_occ), idx0)
+    report("wall_occ (2B rows + occ4)", timed_loop(chain(body_occ), idx0))
 
     # --- row-count scaling ----------------------------------------------
     def body_B(_, ka):
         rows = jnp.take(tbl, ka, axis=0)
         return jnp.abs(ka * MIX + rows[:, 0]) % (nrow - 2)
 
-    results["wall_B (B rows)"] = timed_loop(chain(body_B), idx0)
+    report("wall_B (B rows)", timed_loop(chain(body_B), idx0))
 
     def body_4B(_, ka):
         kk = jnp.concatenate(
@@ -112,7 +123,7 @@ def main():
         v = rows[:B, 0] + rows[B : 2 * B, 1] + rows[2 * B : 3 * B, 2] + rows[3 * B :, 3]
         return jnp.abs(ka * MIX + v) % (nrow - 2)
 
-    results["wall_4B (4B rows)"] = timed_loop(chain(body_4B), idx0)
+    report("wall_4B (4B rows)", timed_loop(chain(body_4B), idx0))
 
     # --- duplicate / near pair (the fused pair's address patterns) ------
     def body_dup(_, ka):
@@ -120,14 +131,14 @@ def main():
         v = rows[:B, 0] + rows[B:, 1]
         return jnp.abs(ka * MIX + v) % (nrow - 2)
 
-    results["dup_pair (kb == ka)"] = timed_loop(chain(body_dup), idx0)
+    report("dup_pair (kb == ka)", timed_loop(chain(body_dup), idx0))
 
     def body_near(_, ka):
         rows = jnp.take(tbl, jnp.concatenate([ka, ka + 1]), axis=0)
         v = rows[:B, 0] + rows[B:, 1]
         return jnp.abs(ka * MIX + v) % (nrow - 2)
 
-    results["near_pair (kb = ka+1)"] = timed_loop(chain(body_near), idx0)
+    report("near_pair (kb = ka+1)", timed_loop(chain(body_near), idx0))
 
     # --- streamed reference: same bytes, contiguous ---------------------
     blk = 2 * B * 8  # elements/step the fused gather touches
@@ -138,19 +149,10 @@ def main():
         seg = jax.lax.dynamic_slice(flat, (off,), (blk,))
         return jnp.abs(ka * MIX + seg[:B]) % (nrow - 2)
 
-    results["stream (same bytes, contiguous)"] = timed_loop(
+    report("stream (same bytes, contiguous)", timed_loop(
         chain(body_stream), idx0
-    )
+    ))
 
-    print()
-    rows_per = {"wall_fused (2B rows)": 2 * B, "wall_occ (2B rows + occ4)": 2 * B,
-                "wall_B (B rows)": B, "wall_4B (4B rows)": 4 * B,
-                "dup_pair (kb == ka)": 2 * B, "near_pair (kb = ka+1)": 2 * B,
-                "stream (same bytes, contiguous)": 2 * B}
-    for name, dt in results.items():
-        r = rows_per[name]
-        print(f"{name:34s} {dt*1e6:8.1f} us/step  "
-              f"{r/dt/1e6:7.1f} Mrows/s  {r*32/dt/1e9:6.2f} GB/s")
 
 
 if __name__ == "__main__":
