@@ -323,6 +323,9 @@ class ExtendEngine:
                     for d, _, bsz, bq, bt, nbr in metas
                 )
                 fn = _fused_device_fn(sig, self.use_pallas, self.params)
+                # benches chain this exact program device-side to split
+                # the e2e 'fetch' phase into device time vs link RTT
+                self._last_fused = (sig, du8, di32)
                 out_dev = fn(du8, di32)
                 self.anatomy["launch_s"] += _time.perf_counter() - t0l
 

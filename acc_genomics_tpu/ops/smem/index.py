@@ -23,6 +23,7 @@ the suffix-array rank space including the sentinel row.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -130,6 +131,9 @@ class FMIndex:
         # uncompressed by default: at 100 Mbp the arrays are ~2 GB and
         # zlib costs minutes on one core for a local scratch cache;
         # np.load reads either form
+        d = os.path.dirname(path)
+        if d:  # scratch dirs (data/) are wiped between sessions
+            os.makedirs(d, exist_ok=True)
         writer = np.savez_compressed if compress else np.savez
         writer(
             path, bwt=self.bwt, text=self.text,

@@ -114,12 +114,17 @@ def bench_sw(on_tpu):
     ref, alts = gen_sw_batch(rng, batch, ref_len=286)
     refs = [ref] * len(alts)
     eng.align(refs, alts, 0)  # warm the jit cache
-    dt = min(
+    dts = [
         _timed(lambda: np.float32(0) if eng.align(refs, alts, 0) else 0)
         for _ in range(K)
-    )
+    ]
     cells = sum(len(ref) * len(a) for a in alts)
-    return cells / dt / 1e9
+    # per-rep times in the artifact: tunnel mood vs regression is
+    # decidable from the spread (round-4 verdict weak #6)
+    return dict(
+        gcups=cells / min(dts) / 1e9,
+        rep_ms=[round(d * 1e3, 1) for d in dts],
+    )
 
 
 def _smem_device_rate(eng, seq_tm, lens, K=3):
@@ -408,12 +413,43 @@ def bench_extend_engine(on_tpu):
         t0 = _t.perf_counter()
         engine.extend_seeds(seeds)
         dts.append(_t.perf_counter() - t0)
-    return dict(
+    out = dict(
         seeds_per_s=n / min(dts),
         rep_ms=[round(d * 1e3, 1) for d in dts],
         anatomy=dict(engine.extend.anatomy),
         anatomy_reps=K,
     )
+    if on_tpu and getattr(engine.extend, "_last_fused", None) is not None:
+        # device-only companion: the exact fused program the e2e path
+        # dispatched, K chained dependent calls + ONE fetch — splits the
+        # anatomy's 'fetch' (RTT + device + D2H) into device vs link
+        import jax
+        from acc_genomics_tpu.engine.extend_engine import _fused_device_fn
+
+        sig, du8, di32 = engine.extend._last_fused
+        fn = _fused_device_fn(sig, engine.extend.use_pallas,
+                              engine.extend.params)
+        Kd = 8
+
+        @jax.jit
+        def chain():
+            d, res = di32, None
+            for _ in range(Kd):
+                res = fn(du8, d)
+                # feed one output value back so calls serialize (the
+                # +-1 lands on a pad qlen slot during timing only)
+                d = d.at[0].add(res[0, 0].astype(d.dtype) % 2)
+            return res[0, :2]
+
+        jax.device_get(chain())  # compile + sync
+        ddts = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            jax.device_get(chain())
+            ddts.append(_t.perf_counter() - t0)
+        out["device_seeds_per_s"] = n * Kd / min(ddts)
+        out["device_ms_per_call"] = round(min(ddts) / Kd * 1e3, 1)
+    return out
 
 
 def bench_hc(on_tpu):
@@ -567,8 +603,11 @@ def main():
             extras["pairhmm_e2e_error"] = str(e)[:200]
     try:
         sw = bench_sw(on_tpu)
-        extras["sw_e2e_gcups"] = round(float(sw), 3)
-        extras["sw_vs_baseline"] = round(float(sw / 0.3), 2)  # htc-sw e2e 0.3
+        extras["sw_e2e_gcups"] = round(float(sw["gcups"]), 3)
+        extras["sw_vs_baseline"] = round(
+            float(sw["gcups"] / 0.3), 2  # htc-sw e2e 0.3
+        )
+        extras["sw_rep_ms"] = sw["rep_ms"]
     except Exception as e:  # never let a sub-bench kill the headline
         extras["sw_error"] = str(e)[:200]
     try:
@@ -640,6 +679,13 @@ def main():
         extras.update(
             _anatomy_extras(r["anatomy"], "extend_eng", r["anatomy_reps"])
         )
+        if "device_seeds_per_s" in r:
+            extras["extend_engine_device_seeds_per_s"] = round(
+                r["device_seeds_per_s"], 1
+            )
+            extras["extend_engine_device_ms_per_call"] = r[
+                "device_ms_per_call"
+            ]
     except Exception as e:
         extras["extend_engine_error"] = str(e)[:200]
     if on_tpu:
