@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # kernel/machine bodies are multi-minute cold compiles
+
 
 def make_flat_batches(rng, n_batches, n_pairs, max_read_len=150,
                       max_hap_len=384):

@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # kernel/machine bodies are multi-minute cold compiles
+
 
 def make_reads(rng, genome, n, read_len=101):
     from acc_genomics_tpu.io.synth import gen_smem_reads

@@ -22,6 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # kernel/machine bodies are multi-minute cold compiles
+
 from acc_genomics_tpu.io.synth import gen_smem_reads
 from acc_genomics_tpu.ops.smem.index import FMIndex
 from acc_genomics_tpu.ops.smem.reference import DEFAULT_SMEM_PARAMS, _iv

@@ -38,6 +38,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # kernel/machine bodies are multi-minute cold compiles
+
 import jax
 import jax.numpy as jnp
 

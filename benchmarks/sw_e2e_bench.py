@@ -5,6 +5,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # kernel/machine bodies are multi-minute cold compiles
+
 import numpy as np
 
 from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine

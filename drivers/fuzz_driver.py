@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # machine/kernel bodies are multi-minute cold compiles
+
 from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
 from acc_genomics_tpu.io.synth import gen_reference_with_repeats, gen_smem_reads
 from acc_genomics_tpu.ops.extend.reference import extend_seed_oracle

@@ -19,6 +19,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from acc_genomics_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # machine/kernel bodies are multi-minute cold compiles
+
 from acc_genomics_tpu.engine.genomics_engine import GenomicsEngine
 from acc_genomics_tpu.models.haplotype_caller import HaplotypeCallerCore
 from acc_genomics_tpu.ops.pairhmm.reference import pairhmm_loglik_oracle
