@@ -321,16 +321,27 @@ class SmemEngine:
             seqp.reshape(L32, Q, B_lane).transpose(1, 0, 2)
             .reshape(Q * L32, B_lane)
         )
-        # 2-bit pack: 16 bases/word MSB-first + 1-bit N mask, 32/word
-        c2 = np.where(pool >= 4, 0, pool).astype(np.uint32)
-        sh16 = (30 - 2 * np.arange(16, dtype=np.uint32))[None, :, None]
-        words = (c2.reshape(-1, 16, B_lane) << sh16).sum(
-            axis=1, dtype=np.uint32
+        # 2-bit pack: 16 bases/word MSB-first + 1-bit N mask, 32/word.
+        # Progressive pairwise combine in uint8 (2 bases/nibble -> 4
+        # bases/byte -> 4 bytes/word big-endian): same bits as the old
+        # widen-to-uint32 + strided sum, but the temporaries shrink from
+        # ~270 MB to ~35 MB and the r05 bench's 6.6 s/rep pack phase
+        # drops ~4x on this 1-core host (A/B'd bit-exact)
+        p = pool & np.uint8(3)  # base 4 (N/pad) -> 0, as where() did
+        p01 = (p[0::2] << np.uint8(2)) | p[1::2]
+        p03 = (p01[0::2] << np.uint8(4)) | p01[1::2]
+        words = (
+            (p03[0::4].astype(np.uint32) << 24)
+            | (p03[1::4].astype(np.uint32) << 16)
+            | (p03[2::4].astype(np.uint32) << 8)
+            | p03[3::4]
         )
-        nb = (pool >= 4).astype(np.uint32)
-        sh32 = (31 - np.arange(32, dtype=np.uint32))[None, :, None]
-        nmask = (nb.reshape(-1, 32, B_lane) << sh32).sum(
-            axis=1, dtype=np.uint32
+        nbit = np.packbits(pool >= 4, axis=0)  # MSB-first byte planes
+        nmask = (
+            (nbit[0::4].astype(np.uint32) << 24)
+            | (nbit[1::4].astype(np.uint32) << 16)
+            | (nbit[2::4].astype(np.uint32) << 8)
+            | nbit[3::4]
         )
         packed = np.concatenate([words, nmask]).view(np.int32)
         # lane output rows must hold Q reads' intervals: measured lane
