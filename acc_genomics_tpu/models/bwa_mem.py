@@ -185,6 +185,32 @@ def _extend_seeds_fused(
     ).astype(I32)
 
 
+def _fused_jit(wq, wt, flank, use_pallas, params, text_guard):
+    """Memoized jit of the fused extend step: the eager form dispatched
+    ~40 device ops per call (each an async tunnel round of overhead);
+    one traced program is one dispatch.  Keyed on the static config —
+    lane counts are already power-of-two bucketed by _lane_pad, so the
+    shape set stays small."""
+    import jax
+
+    key = (wq, wt, flank, use_pallas, params, text_guard)
+    fn = _FUSED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda sa, tp, tl, sp, rl, rows, qb, sl, rid, br:
+            _extend_seeds_fused(
+                sa, tp, tl, sp, rl, rows, qb, sl, rid, br,
+                wq=wq, wt=wt, flank=flank, use_pallas=use_pallas,
+                params=params, text_guard=text_guard,
+            )
+        )
+        _FUSED_JIT_CACHE[key] = fn
+    return fn
+
+
+_FUSED_JIT_CACHE: dict = {}
+
+
 class BwaMemDevicePipeline:
     """Device-resident BWA-MEM seeding + extension.
 
@@ -218,6 +244,15 @@ class BwaMemDevicePipeline:
         self.text_dev = jax.device_put(jnp.asarray(tp), dev)
         self.params = engine.extend.config.params()
         self.stats = {"reads": 0, "seeds": 0, "device_calls": 0}
+        # per-phase anatomy (engine convention): smem = collect_arrays
+        # (device + its fetch), enum = host seed enumeration/sort/pad,
+        # extend = fused-step upload + dispatch + result fetch
+        self.anatomy = dict(smem_s=0.0, enum_s=0.0, extend_s=0.0,
+                            h2d_bytes=0, d2h_bytes=0)
+
+    def reset_anatomy(self):
+        for k in self.anatomy:
+            self.anatomy[k] = 0.0 if k.endswith("_s") else 0
 
     def _lane_pad(self, n: int) -> int:
         b = 256
@@ -230,7 +265,11 @@ class BwaMemDevicePipeline:
         width pos], seed readid (N,), seed meta (qbeg, slen, occ) arrays,
         host_read_idx routed to the dict path).  The array form is the
         fast path; map_reads wraps it into SeedHit lists."""
+        import time as _t
+
         import jax.numpy as jnp
+
+        t0 = _t.perf_counter()
 
         eng = self.engine
         seq_len_bucket = eng.smem.config.seq_length
@@ -253,6 +292,8 @@ class BwaMemDevicePipeline:
 
         mem, mem_n, overflow = eng.smem.collect_arrays(seq_tm, rlens)
         host_idx.extend(np.flatnonzero(overflow).tolist())
+        t1 = _t.perf_counter()
+        self.anatomy["smem_s"] += t1 - t0
 
         # vectorized seed enumeration (same order as the host model:
         # read-major, interval order, occurrence j ascending)
@@ -310,18 +351,23 @@ class BwaMemDevicePipeline:
         seq_pad = np.full((n_reads, wq + seq_len_bucket + wq), 4, np.uint8)
         seq_pad[:, wq : wq + seq_len_bucket] = seq_tm.T
         self.stats["device_calls"] += 1
-        hits = np.asarray(
-            _extend_seeds_fused(
-                self.sa_dev, self.text_dev, np.int32(self.fm.seq_len),
-                jnp.asarray(seq_pad), jnp.asarray(rlens),
-                jnp.asarray(rows_p), jnp.asarray(qbeg_p),
-                jnp.asarray(slen_p), jnp.asarray(rid_p),
-                jnp.asarray(block_rows),
-                wq=wq, wt=wt, flank=self.flank,
-                use_pallas=use_pallas, params=self.params,
-                text_guard=self.text_guard,
-            )
-        )[:, :tot][:, inv]
+        t2 = _t.perf_counter()
+        self.anatomy["enum_s"] += t2 - t1
+        fn = _fused_jit(wq, wt, self.flank, use_pallas, self.params,
+                        self.text_guard)
+        self.anatomy["h2d_bytes"] += (
+            seq_pad.nbytes + rlens.nbytes + 4 * 4 * N + block_rows.nbytes
+        )
+        hits_dev = fn(
+            self.sa_dev, self.text_dev, np.int32(self.fm.seq_len),
+            jnp.asarray(seq_pad), jnp.asarray(rlens),
+            jnp.asarray(rows_p), jnp.asarray(qbeg_p),
+            jnp.asarray(slen_p), jnp.asarray(rid_p),
+            jnp.asarray(block_rows),
+        )
+        hits = np.asarray(hits_dev)[:, :tot][:, inv]
+        self.anatomy["d2h_bytes"] += 8 * 4 * N
+        self.anatomy["extend_s"] += _t.perf_counter() - t2
         return hits, b_idx, (qbeg, slen, occ_per_seed), host_idx
 
     def map_reads(self, reads: Sequence[np.ndarray]) -> List[List[SeedHit]]:

@@ -537,6 +537,7 @@ def bench_bwamem_100m():
     reads = gen_smem_reads(rng, genome, n, read_len=101)
     pipe.map_reads_arrays(reads)  # warm (index/SA/text upload + compiles)
     K = 3
+    pipe.reset_anatomy()
     dts = []
     for _ in range(K):
         t0 = _t.perf_counter()
@@ -546,6 +547,8 @@ def bench_bwamem_100m():
         reads_per_s=n / min(dts),
         rep_ms=[round(d * 1e3, 1) for d in dts],
         seeds=pipe.stats["seeds"],
+        anatomy=dict(pipe.anatomy),
+        anatomy_reps=K,
     )
 
 
@@ -711,6 +714,10 @@ def main():
                 float(r["reads_per_s"]), 1
             )
             extras["bwamem_rep_ms_100m"] = r["rep_ms"]
+            extras.update(
+                _anatomy_extras(r["anatomy"], "bwamem_100m",
+                                r["anatomy_reps"])
+            )
         except Exception as e:
             extras["bwamem_100m_error"] = str(e)[:200]
         try:
