@@ -477,7 +477,10 @@ def bench_hc(on_tpu):
         t0 = _t.perf_counter()
         hc.process_regions(regions)
         dts.append(_t.perf_counter() - t0)
-    return n_regions / min(dts)
+    return dict(
+        regions_per_s=n_regions / min(dts),
+        rep_ms=[round(d * 1e3, 1) for d in dts],
+    )
 
 
 def bench_bwamem(on_tpu):
@@ -721,9 +724,11 @@ def main():
         except Exception as e:
             extras["bwamem_100m_error"] = str(e)[:200]
         try:
+            r = _retry(lambda: bench_hc(True))
             extras["hc_regions_per_s"] = round(
-                float(_retry(lambda: bench_hc(True))), 1
+                float(r["regions_per_s"]), 1
             )
+            extras["hc_rep_ms"] = r["rep_ms"]
         except Exception as e:
             extras["hc_error"] = str(e)[:200]
 
