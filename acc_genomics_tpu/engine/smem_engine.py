@@ -255,6 +255,8 @@ class SmemEngine:
 
         import time as _t
 
+        from acc_genomics_tpu.ops.smem.machine import smem_flat_gather
+
         with Timer("smem.device"):
             t0 = _t.perf_counter()
             if self.mesh is not None:
@@ -291,14 +293,30 @@ class SmemEngine:
             self.anatomy["d2h_bytes"] += mem_n.nbytes + 8
             self.stats["probe_iters"] += int(iters)
             used = int(min(cap, mem_n.max(initial=0)))
-            memc = np.asarray(
-                jnp.stack([m[:used].astype(jnp.int32) for m in mem])
-            )
+            overflow = mem_n > cap
+            nn = (np.minimum(mem_n, cap) * ~overflow).astype(np.int32)
+            # ragged fetch (see _multi_finish): the (used, B) rectangle's
+            # row count is the per-batch MAX interval count, ~2x the
+            # mean — ship exactly the live intervals instead
+            tot = int(nn.sum())
+            memc = np.zeros((5, used, B), np.int32)
+            if tot:
+                totp = max(-(-tot // 65536) * 65536, 65536)
+                f32, f16 = smem_flat_gather(
+                    mem,
+                    jnp.zeros(B, jnp.int32),
+                    jnp.arange(B, dtype=jnp.int32),
+                    jnp.asarray(nn), tot=totp,
+                )
+                f32, f16 = jax.device_get((f32, f16))
+                self.anatomy["d2h_bytes"] += f32.nbytes + f16.nbytes
+                flat = np.concatenate([f32, f16.astype(np.int32)])[:, :tot]
+                rid_h = np.repeat(np.arange(B), nn)
+                jr_h = np.arange(tot) - np.repeat(np.cumsum(nn) - nn, nn)
+                memc[:, jr_h, rid_h] = flat
             self.anatomy["fetch_s"] += _t.perf_counter() - t2
-            self.anatomy["d2h_bytes"] += memc.nbytes
-        overflow = mem_n > cap
         self.stats["overflow_reruns"] += int(overflow.sum())
-        return memc, np.minimum(mem_n, cap) * ~overflow, overflow
+        return memc, nn, overflow
 
     def _multi_pack(self, seq_tm, lens, B_lane):
         """Host-side pool pack for the multi-read machine.
@@ -387,13 +405,14 @@ class SmemEngine:
                     n=n, B=B_lane, Q=Q)
 
     def _multi_finish(self, h):
-        """Drain one multi-read call: small boundary fetch, device-side
-        densify (machine.smem_densify), one dense fetch."""
+        """Drain one multi-read call: small boundary fetch, then one
+        ragged device-side gather of exactly the live intervals
+        (machine.smem_flat_gather)."""
         import time as _t
 
         import jax.numpy as jnp
 
-        from acc_genomics_tpu.ops.smem.machine import smem_densify
+        from acc_genomics_tpu.ops.smem.machine import smem_flat_gather
 
         n, B_lane = h["n"], h["B"]
         t0 = _t.perf_counter()
@@ -411,17 +430,28 @@ class SmemEngine:
         sf = starts.reshape(-1)[:n].astype(np.int32)
         cf = counts.reshape(-1)[:n].astype(np.int32)
         used = max(int(cf.max(initial=0)), 1)
-        used = ((used + 3) // 4) * 4  # bucket the jit shape
+        used = ((used + 3) // 4) * 4  # bucket the downstream rectangle
         t1 = _t.perf_counter()
-        d32, d16 = smem_densify(
+        # ragged fetch: ship exactly the live intervals (flat, read-
+        # major) instead of the used*n rectangle — the rectangle's row
+        # count is the max per-read count (~2x the mean at Q=8), and
+        # this fetch is the multi path's link-bound phase
+        tot = int(cf.sum())
+        totp = max(-(-(tot) // 262144) * 262144, 262144)
+        f32, f16 = smem_flat_gather(
             h["mem"], jnp.asarray(sf),
             jnp.asarray((np.arange(n) % B_lane).astype(np.int32)),
-            jnp.asarray(cf), used=used,
+            jnp.asarray(cf), tot=totp,
         )
-        d32, d16 = jax.device_get((d32, d16))
+        f32, f16 = jax.device_get((f32, f16))
         self.anatomy["fetch_s"] += _t.perf_counter() - t1
-        self.anatomy["d2h_bytes"] += d32.nbytes + d16.nbytes
-        memc = np.concatenate([d32, d16.astype(np.int32)])  # (5, used, n)
+        self.anatomy["d2h_bytes"] += f32.nbytes + f16.nbytes
+        flat = np.concatenate([f32, f16.astype(np.int32)])[:, :tot]
+        memc = np.zeros((5, used, n), np.int32)  # host RAM is not the link
+        if tot:
+            rid_h = np.repeat(np.arange(n), cf)
+            jr_h = np.arange(tot) - np.repeat(np.cumsum(cf) - cf, cf)
+            memc[:, jr_h, rid_h] = flat
         ovf = np.asarray(bq).reshape(-1)[:n]
         self.stats["overflow_reruns"] += int(ovf.sum())
         return memc, cf * ~ovf, ovf

@@ -1030,30 +1030,36 @@ _collect_multi_jit = jax.jit(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("used",))
-def smem_densify(mem, starts, cols, counts, used: int):
-    """Device-side re-densification of multi-read outputs: per-read
-    interval rows gathered out of the lane-accumulated mem planes, so
-    the host fetches only used*n dense elements instead of the raw
-    (mem_cap, B) planes plus a host-side fancy gather (which measured
-    1.8 s D2H + 1.2 s numpy per 262K reads on the dev tunnel).
+@functools.partial(jax.jit, static_argnames=("tot",))
+def smem_flat_gather(mem, starts, cols, counts, tot: int):
+    """Ragged device-side fetch of multi-read outputs: exactly the live
+    intervals, flattened read-major, instead of a dense
+    (used, n) rectangle whose row count is the bucketed MAX per-read
+    count (mean ~6.2 vs max-bucket 12 at Q=8/101 bp — the rectangle
+    shipped ~2x the live bytes, and the multi fetch is link-bound on
+    the dev tunnel).  tot: static flat slot count (>= sum(counts),
+    bucketed by the engine to bound jit shapes); pad slots replicate
+    the last read's tail and are dropped host-side.
 
-    mem: 5 planes (MM, B); starts/cols/counts: (n,) row start, lane
-    column, interval count per read; used: static row cap (>= max
-    count, bucketed by the engine to bound jit shapes).
-    Returns (d32 (3, used, n) int32 [x0,x1,s], d16 (2, used, n) int16
-    [start,end]); rows past a read's count are zeroed."""
+    Returns (f32 (3, tot) int32 [x0,x1,s], f16 (2, tot) int16
+    [start,end]); read r's intervals occupy flat slots
+    [cumsum(counts)[r-1], cumsum(counts)[r])."""
     n = starts.shape[0]
-    jj = jax.lax.broadcasted_iota(I32, (used, n), 0)
-    rows = jnp.clip(starts[None, :] + jj, 0, mem[0].shape[0] - 1)
-    live = jj < counts[None, :]
+    roff = jnp.cumsum(counts) - counts  # first flat slot of read r
+    rid = jnp.repeat(
+        jnp.arange(n, dtype=I32), counts, total_repeat_length=tot
+    )
+    jr = jnp.arange(tot, dtype=I32) - jnp.take(roff, rid)
+    row = jnp.clip(jnp.take(starts, rid) + jr, 0, mem[0].shape[0] - 1)
+    fi = row * mem[0].shape[1] + jnp.take(cols, rid)
 
     def g(m):
-        return jnp.where(live, m[rows, cols[None, :]], 0)
+        return jnp.take(m.reshape(-1), fi)
 
-    d32 = jnp.stack([g(mem[0]), g(mem[1]), g(mem[2])]).astype(I32)
-    d16 = jnp.stack([g(mem[3]), g(mem[4])]).astype(jnp.int16)
-    return d32, d16
+    f32 = jnp.stack([g(mem[0]), g(mem[1]), g(mem[2])]).astype(I32)
+    f16 = jnp.stack([g(mem[3]), g(mem[4])]).astype(jnp.int16)
+    return f32, f16
+
 
 _IV_KEYS = ("x0", "x1", "s", "start", "end")
 
