@@ -31,6 +31,13 @@ class HaplotypeCallerCore:
     def __init__(self, engine: GenomicsEngine, overhang_strategy: int = OVERHANG_SOFTCLIP):
         self.engine = engine
         self.overhang_strategy = overhang_strategy
+        # phase split (engine convention): sw = realignment batch,
+        # pairhmm = likelihood batch, host = packing/cross-product/assemble
+        self.anatomy = dict(sw_s=0.0, pairhmm_s=0.0, host_s=0.0)
+
+    def reset_anatomy(self):
+        for k in self.anatomy:
+            self.anatomy[k] = 0.0
 
     def process_region(
         self,
@@ -51,6 +58,9 @@ class HaplotypeCallerCore:
         the reference worker tiling many requests into device-sized
         batches (PairHMMWorker.cpp:217-222).
         """
+        import time as _t
+
+        t0 = _t.perf_counter()
         sw_refs, sw_alts = [], []
         for ref_win, haps, reads in regions:
             sw_refs.extend([ref_win] * len(haps))
@@ -77,7 +87,9 @@ class HaplotypeCallerCore:
             ri += nr
             hi += nh
 
+        t1 = _t.perf_counter()
         cigars_flat = self.engine.sw.align(sw_refs, sw_alts, self.overhang_strategy)
+        t2 = _t.perf_counter()
         liks_flat = self.engine.pairhmm.compute_pairs_flat(
             cat("rs"), cat("q"), cat("i"), cat("d"), cat("c"),
             np.concatenate(p_lens) if p_lens else np.zeros(0, np.int32),
@@ -86,6 +98,11 @@ class HaplotypeCallerCore:
             offs=np.concatenate(p_offs) if p_offs else np.zeros(0, np.int64),
             hoffs=np.concatenate(p_hoffs) if p_hoffs else np.zeros(0, np.int64),
         )
+
+        t3 = _t.perf_counter()
+        self.anatomy["host_s"] += t1 - t0
+        self.anatomy["sw_s"] += t2 - t1
+        self.anatomy["pairhmm_s"] += t3 - t2
 
         out: List[RegionResult] = []
         c_off = 0

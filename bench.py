@@ -472,6 +472,7 @@ def bench_hc(on_tpu):
     ]
     hc.process_regions(regions)  # warm
     K = 3 if on_tpu else 1
+    hc.reset_anatomy()
     dts = []
     for _ in range(K):
         t0 = _t.perf_counter()
@@ -480,6 +481,8 @@ def bench_hc(on_tpu):
     return dict(
         regions_per_s=n_regions / min(dts),
         rep_ms=[round(d * 1e3, 1) for d in dts],
+        anatomy=dict(hc.anatomy),
+        anatomy_reps=K,
     )
 
 
@@ -729,6 +732,9 @@ def main():
                 float(r["regions_per_s"]), 1
             )
             extras["hc_rep_ms"] = r["rep_ms"]
+            extras.update(
+                _anatomy_extras(r["anatomy"], "hc", r["anatomy_reps"])
+            )
         except Exception as e:
             extras["hc_error"] = str(e)[:200]
 
