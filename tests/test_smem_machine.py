@@ -231,3 +231,23 @@ def test_multiread_collect_arrays_matches_oneshot(rng):
         a = sorted(tuple(m1[:, j, k]) for j in range(n1[k]))
         b = sorted(tuple(m2[:, j, k]) for j in range(n2[k]))
         assert a == b, k
+
+
+def test_collect_arrays_no_intervals(rng):
+    """All-N / zero-length reads produce zero counts through both fetch
+    routes (the ragged flat-gather's tot == 0 branch ships nothing)."""
+    from acc_genomics_tpu.config import SmemConfig
+    from acc_genomics_tpu.engine.smem_engine import SmemEngine
+
+    genome = gen_reference_with_repeats(rng, 2000)
+    fm = FMIndex.build(genome)
+    n = 10
+    seq = np.full((96, n), 4, np.uint8)  # every base is N
+    lens = np.full(n, 60, np.int32)
+    lens[-2:] = 0  # plus genuinely empty reads
+    for cfg in (SmemConfig(batch_size=64, seq_length=96),
+                SmemConfig(batch_size=4, seq_length=96)):  # multi route
+        eng = SmemEngine(fm, cfg)
+        mem, nn, ovf = eng.collect_arrays(seq, lens)
+        assert nn.shape == (n,) and not nn.any() and not ovf.any()
+        assert mem.shape[0] == 5 and mem.shape[2] == n
