@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--mem-cap", type=int, default=None)
     ap.add_argument("--probe-extra", default="none",
                     choices=["none", "self", "rand", "near"])
+    ap.add_argument("--qmax", type=int, default=None,
+                    help="max_reads_per_lane for the multi variants "
+                    "(the engine default is 8; Q=16 was last measured "
+                    "PRE-state-folds at +110 us/step)")
     args = ap.parse_args()
 
     if args.probe_extra != "none":
@@ -107,6 +111,8 @@ def main():
         kw["curr_cap"] = args.curr_cap
     if args.mem_cap is not None:
         kw["mem_cap"] = args.mem_cap
+    if args.qmax is not None:
+        kw["max_reads_per_lane"] = args.qmax
     cfg = SmemConfig(batch_size=args.batch, **kw)
     eng = SmemEngine(fm, cfg)
     seq, lens = make_batch(fm, args.batch)
